@@ -1,0 +1,17 @@
+"""Test config: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding paths are validated on a virtual 8-device CPU mesh
+(`--xla_force_host_platform_device_count=8`), the TPU-world analog of testing
+multi-node without a cluster (SURVEY.md §4). Must run before jax imports.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
