@@ -1,0 +1,217 @@
+"""Blockwise flash attention as a Pallas TPU kernel.
+
+TPU-native equivalent of the reference's fused-SDPA path
+(`/root/reference/naturalspeech2_pytorch/attend.py:102-108`): online-softmax
+over key/value tiles held in VMEM, O(seq) memory instead of the O(seq²)
+logits matrix, with key-padding and causal masking.
+
+Layout: q/k/v are ``[b, h, n, d]``. The grid is
+``(b, h, n_q_blocks, n_kv_blocks)`` — the innermost grid dimension iterates
+sequentially on TPU, so the running max / normalizer / accumulator live in
+VMEM scratch across kv-block steps (the canonical Mosaic flash pattern).
+
+Backward: custom_vjp recomputes standard attention in XLA (O(n²) only inside
+the backward, which XLA fuses well at these lengths). A fully-blockwise
+Pallas backward is a later optimization; the sampling loop — the headline
+benchmark — is forward-only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_KV = 256
+
+
+def _flash_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref,  # blocks
+    m_scratch, l_scratch, acc_scratch,  # VMEM carries across kv steps
+    *, scale: float, causal: bool, block_q: int, block_kv: int,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scratch[:] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[:] = jnp.zeros_like(l_scratch)
+        acc_scratch[:] = jnp.zeros_like(acc_scratch)
+
+    # causal: whole kv block strictly above the diagonal band → skip compute
+    if causal:
+        block_needed = (j * block_kv) <= (i * block_q + block_q - 1)
+    else:
+        block_needed = True
+
+    @pl.when(block_needed)
+    def _compute():
+        # matmuls run at the input dtype (bf16 inputs → native MXU bf16 with
+        # f32 accumulation); softmax statistics always in f32
+        q = q_ref[0, 0]  # [bq, d]
+        k = k_ref[0, 0]  # [bkv, d]
+        v = v_ref[0, 0]  # [bkv, d]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, bkv] f32
+
+        mask = mask_ref[0]  # [1, bkv] int8 key-padding mask
+        s = jnp.where(mask != 0, s, NEG_INF)  # broadcasts over query rows
+
+        if causal:
+            row = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            col = j * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            s = jnp.where(row >= col, s, NEG_INF)
+
+        m_prev = m_scratch[:]  # [bq, 128] replicated
+        l_prev = l_scratch[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+        m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+
+        p = jnp.exp(s - m_new[:, :1])  # [bq, bkv]
+        correction = jnp.exp(m_prev - m_new)  # [bq, 128]
+        l_new = correction * l_prev + jnp.broadcast_to(
+            jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
+        )
+
+        m_scratch[:] = m_new
+        l_scratch[:] = l_new
+
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, d] f32
+        acc_scratch[:] = acc_scratch[:] * correction[:, :1] + pv
+
+    @pl.when(j == n_kv - 1)
+    def _finalize():
+        l = l_scratch[:, :1]
+        # fully-masked rows (l == 0) → zeros, matching softmax-of-−inf ≈ uniform
+        # degeneracy avoided; reference would emit uniform attn over −max logits,
+        # but such rows are padding and never read.
+        out = acc_scratch[:] / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q, k, v, mask, *, causal: bool, scale: float,
+    block_q: int = DEFAULT_BLOCK_Q, block_kv: int = DEFAULT_BLOCK_KV,
+):
+    b, h, n_q, d = q.shape
+    n_kv = k.shape[2]
+
+    block_q = min(block_q, max(128, 1 << (n_q - 1).bit_length()))
+    block_kv = min(block_kv, max(128, 1 << (n_kv - 1).bit_length()))
+
+    # pad sequence lengths to block multiples and the feature dim to the
+    # 128-lane width: measured on v5e, 64-lane matmul tiles run far below
+    # MXU peak while zero-padded 128-lane tiles are full-speed.
+    n_q_pad = -n_q % block_q
+    n_kv_pad = -n_kv % block_kv
+    d_pad = -d % 128
+
+    if mask is None:
+        mask = jnp.ones((b, n_kv), dtype=bool)
+    if n_kv_pad or n_q_pad or d_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, n_q_pad), (0, d_pad)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, n_kv_pad), (0, d_pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, n_kv_pad), (0, d_pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, n_kv_pad)))
+
+    bp, hp, n_qp, dp = q.shape
+    n_kvp = k.shape[2]
+    grid = (bp, hp, n_qp // block_q, n_kvp // block_kv)
+
+    # mask as int8 with a singleton sublane dim — bool/1-sublane blocks don't
+    # satisfy TPU (8, 128) tiling; (1, block_kv) with leading size-1 dim does.
+    mask = mask.astype(jnp.int8)[:, None, :]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel,
+            scale=scale, causal=causal, block_q=block_q, block_kv=block_kv,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, dp), lambda b_, h_, i, j: (b_, h_, i, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv, dp), lambda b_, h_, i, j: (b_, h_, j, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_kv, dp), lambda b_, h_, i, j: (b_, h_, j, 0),
+            ),
+            pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, dp), lambda b_, h_, i, j: (b_, h_, i, 0),
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, mask)
+
+    return out[:, :, :n_q, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, mask, causal, scale):
+    return _flash_forward(q, k, v, mask, causal=causal, scale=scale)
+
+
+def _flash_fwd(q, k, v, mask, causal, scale):
+    out = _flash_forward(q, k, v, mask, causal=causal, scale=scale)
+    return out, (q, k, v, mask)
+
+
+def _flash_bwd(causal, scale, residuals, g):
+    from naturalspeech2_tpu.ops.attention import attend_xla
+
+    q, k, v, mask = residuals
+    f = lambda q_, k_, v_: attend_xla(
+        q_, k_, v_, mask=mask, causal=causal, scale=scale
+    )
+    _, vjp = jax.vjp(f, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Flash attention over ``[b, h, n, d]`` with optional ``[b, n_kv]``
+    key-padding mask and causal masking."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash(q, k, v, mask, causal, float(scale))

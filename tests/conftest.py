@@ -7,11 +7,23 @@ multi-node without a cluster (SURVEY.md §4). Must run before jax imports.
 
 import os
 
+# NOTE: the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME + the
+# config update below are what actually force the CPU backend here.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+def _assert_cpu():
+    assert jax.default_backend() == "cpu", jax.default_backend()
+    assert jax.device_count() == 8, jax.devices()
+
+
+_assert_cpu()

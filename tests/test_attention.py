@@ -1,0 +1,123 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from naturalspeech2_tpu.ops.attention import attend, attend_xla
+from naturalspeech2_tpu.ops.flash_attention import flash_attention
+
+
+def _ref_attention(q, k, v, mask=None, causal=False, scale=None):
+    """Plain numpy reference."""
+    q, k, v = map(np.asarray, (q, k, v))
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    sim = np.einsum("bhid,bhjd->bhij", q, k) * scale
+    if mask is not None:
+        sim = np.where(np.asarray(mask)[:, None, None, :], sim, -1e30)
+    if causal:
+        i, j = sim.shape[-2:]
+        tri = np.tril(np.ones((i, j), dtype=bool), j - i)
+        sim = np.where(tri, sim, -1e30)
+    sim = sim - sim.max(axis=-1, keepdims=True)
+    attn = np.exp(sim)
+    attn = attn / attn.sum(axis=-1, keepdims=True)
+    return np.einsum("bhij,bhjd->bhid", attn, v)
+
+
+@pytest.fixture
+def qkv():
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 4, 64, 32))
+    k = jax.random.normal(kk, (2, 4, 96, 32))
+    v = jax.random.normal(kv, (2, 4, 96, 32))
+    return q, k, v
+
+
+def test_attend_xla_matches_numpy(qkv):
+    q, k, v = qkv
+    out = attend_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), _ref_attention(q, k, v), atol=1e-5)
+
+
+def test_attend_xla_mask(qkv):
+    q, k, v = qkv
+    lengths = jnp.array([50, 96])
+    mask = jnp.arange(96)[None, :] < lengths[:, None]
+    out = attend_xla(q, k, v, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(out), _ref_attention(q, k, v, mask=mask), atol=1e-5
+    )
+    # masked keys must not influence output: perturb them
+    v2 = v.at[0, :, 50:].set(123.0)
+    out2 = attend_xla(q, k, v2, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_attend_xla_causal():
+    key = jax.random.PRNGKey(1)
+    q = jax.random.normal(key, (1, 2, 32, 16))
+    out = attend_xla(q, q, q, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out), _ref_attention(q, q, q, causal=True), atol=1e-5
+    )
+
+
+def test_attend_broadcast_single_head_kv(qkv):
+    q, k, v = qkv
+    k1, v1 = k[:, 0], v[:, 0]  # [b, n, d]
+    out = attend_xla(q, k1, v1)
+    ref = _ref_attention(q, k[:, :1].repeat(4, 1), v[:, :1].repeat(4, 1))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+# --- Pallas flash kernel (interpret mode on CPU) vs xla path ---
+
+
+def test_flash_matches_xla_basic(qkv):
+    q, k, v = qkv
+    out_flash = flash_attention(q, k, v)
+    out_xla = attend_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_xla), atol=2e-5)
+
+
+def test_flash_matches_xla_masked(qkv):
+    q, k, v = qkv
+    lengths = jnp.array([50, 96])
+    mask = jnp.arange(96)[None, :] < lengths[:, None]
+    out_flash = flash_attention(q, k, v, mask=mask)
+    out_xla = attend_xla(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_xla), atol=2e-5)
+
+
+def test_flash_causal_long():
+    key = jax.random.PRNGKey(2)
+    q = jax.random.normal(key, (1, 2, 300, 64))
+    out_flash = flash_attention(q, q, q, causal=True)
+    out_xla = attend_xla(q, q, q, causal=True)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_xla), atol=2e-5)
+
+
+def test_flash_grad_matches_xla(qkv):
+    q, k, v = qkv
+    lengths = jnp.array([50, 96])
+    mask = jnp.arange(96)[None, :] < lengths[:, None]
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, mask=mask) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (attend_xla(q, k, v, mask=mask) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_attend_dispatch(qkv):
+    q, k, v = qkv
+    out = attend(q, k, v, backend="xla")
+    out2 = attend(q, k, v, backend="flash")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=2e-5)
