@@ -1,0 +1,166 @@
+"""Core neural building blocks (flax.linen, ``[b, n, d]`` layout).
+
+TPU-native counterparts of the reference blocks in
+`/root/reference/naturalspeech2_pytorch/naturalspeech2_pytorch.py`:
+RMSNorm (+ adaptive/conditional variant) :727-746, LearnedSinusoidalPosEmb
+:108-120, CausalConv1d :583-595, Block/ResnetBlock/ConvBlock :345-410, and
+GEGLU/FeedForward :1004-1025.
+
+Everything stays channels-last (NLC) — the native layout for XLA TPU convs —
+instead of the reference's channel-first rearranges. Weight init follows
+flax defaults (lecun-normal) except where noted; the adaptive RMSNorm's
+γ-head is initialised so γ≈1, β≈0 at init (identity modulation — a deliberate
+improvement over the reference's uniform Linear init).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class RMSNorm(nn.Module):
+    """x/‖x‖·√dim·γ with optional per-sample FiLM conditioning (ref :727-746)."""
+
+    dim: int
+    scale: bool = True
+    dim_cond: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, cond: Optional[jax.Array] = None) -> jax.Array:
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        out = x / jnp.maximum(norm, 1e-12) * math.sqrt(self.dim)
+        if self.scale:
+            gamma = self.param("gamma", nn.initializers.ones, (self.dim,))
+            out = out * gamma
+        if self.dim_cond is None:
+            return out
+        assert cond is not None, "conditional RMSNorm requires cond"
+        # init: gamma-part bias 1, beta-part 0 → identity modulation at init
+        gb = nn.Dense(
+            self.dim * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda key, shape, dtype=jnp.float32: jnp.concatenate(
+                [jnp.ones((self.dim,), dtype), jnp.zeros((self.dim,), dtype)]
+            ),
+            name="to_gamma_beta",
+        )(cond)
+        gamma, beta = jnp.split(gb, 2, axis=-1)
+        gamma = gamma[:, None, :]
+        beta = beta[:, None, :]
+        return out * gamma + beta
+
+
+class LearnedSinusoidalPosEmb(nn.Module):
+    """Learned-frequency Fourier time embedding, output dim ``dim+1`` (ref :108-120)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, t: jax.Array) -> jax.Array:
+        assert self.dim % 2 == 0
+        half_dim = self.dim // 2
+        weights = self.param(
+            "weights", nn.initializers.normal(1.0), (half_dim,)
+        )
+        t = t[:, None]
+        freqs = t * weights[None, :] * 2 * math.pi
+        return jnp.concatenate([t, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+class CausalConv1d(nn.Module):
+    """1-D conv with left padding ``dilation·(kernel−1)`` (ref :583-595).
+
+    Input/output ``[b, n, d]``; stride fixed at 1 like the reference assert.
+    """
+
+    features: int
+    kernel_size: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = self.dilation * (self.kernel_size - 1)
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size,),
+            kernel_dilation=(self.dilation,),
+            padding=[(pad, 0)],
+        )(x)
+
+
+class ConvUnit(nn.Module):
+    """Conv(k, same) → GroupNorm(groups) → SiLU → dropout (ref ``Block`` :345-365)."""
+
+    dim_out: int
+    kernel: int = 3
+    groups: int = 8
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Conv(self.dim_out, (self.kernel,), padding=self.kernel // 2)(x)
+        x = nn.GroupNorm(num_groups=self.groups)(x)
+        x = nn.silu(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class ResnetBlock(nn.Module):
+    """num_convs × ConvUnit with a 1×1-projected residual (ref :367-401)."""
+
+    dim_out: int
+    kernel: int
+    dropout: float = 0.0
+    groups: int = 8
+    num_convs: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        h = x
+        for _ in range(self.num_convs):
+            h = ConvUnit(
+                self.dim_out, self.kernel, groups=self.groups, dropout=self.dropout
+            )(h, deterministic=deterministic)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Conv(self.dim_out, (1,))(x)
+        return h + x
+
+
+class ConvBlock(nn.Module):
+    """Conv(k, same) → SiLU → dropout, no norm (ref :403-410)."""
+
+    dim_out: int
+    kernel: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = nn.Conv(self.dim_out, (self.kernel,), padding=self.kernel // 2)(x)
+        x = nn.silu(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class FeedForward(nn.Module):
+    """GEGLU MLP: Dense(2·inner) → gelu-gated → [causal conv] → Dense(dim).
+
+    ``inner = int(dim·mult·2/3)`` like ref :1009-1025; the optional
+    CausalConv1d(3) between gate and out-projection is the denoiser variant.
+    """
+
+    dim: int
+    mult: int = 4
+    causal_conv: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dim_inner = int(self.dim * self.mult * 2 / 3)
+        x = nn.Dense(dim_inner * 2)(x)
+        x, gate = jnp.split(x, 2, axis=-1)
+        x = nn.gelu(gate) * x
+        if self.causal_conv:
+            x = CausalConv1d(dim_inner, 3)(x)
+        return nn.Dense(self.dim)(x)

@@ -1,0 +1,195 @@
+"""Multi-head attention and transformer stacks (flax.linen).
+
+TPU-native counterparts of the reference's `Attention` (:1029-1069),
+`Transformer` (:1073-1115) and `ConditionableTransformer` (:748-809) in
+`/root/reference/naturalspeech2_pytorch/naturalspeech2_pytorch.py`.
+The attention math itself lives in `naturalspeech2_tpu.ops.attention`
+(XLA-dot or Pallas flash kernel).
+
+Divergence from the reference worth noting: with
+``cross_attn_include_queries`` the reference concatenates queries into the
+context but forwards the caller's key-padding mask unchanged, which only
+works when the mask is None. Here the mask is left-padded with True for the
+prepended query positions, so masked cross-attention works.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from naturalspeech2_tpu.ops.attention import attend
+
+
+class Attention(nn.Module):
+    dim: int
+    dim_context: Optional[int] = None
+    causal: bool = False
+    dim_head: int = 64
+    heads: int = 8
+    dropout: float = 0.0
+    use_flash: bool = False
+    cross_attn_include_queries: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        context: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        h = self.heads
+        has_context = context is not None
+        ctx = context if has_context else x
+
+        if has_context and self.cross_attn_include_queries:
+            ctx = jnp.concatenate([x, ctx], axis=-2)
+            if mask is not None:
+                mask = jnp.pad(
+                    mask, ((0, 0), (x.shape[-2], 0)), constant_values=True
+                )
+
+        dim_inner = self.dim_head * h
+        q = nn.Dense(dim_inner, use_bias=False, name="to_q")(x)
+        kv = nn.Dense(dim_inner * 2, use_bias=False, name="to_kv")(ctx)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def split_heads(t):
+            b, n, _ = t.shape
+            return t.reshape(b, n, h, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = map(split_heads, (q, k, v))
+
+        dropout_key = None
+        if self.dropout > 0.0 and not deterministic:
+            dropout_key = self.make_rng("dropout")
+
+        out = attend(
+            q, k, v,
+            mask=mask,
+            causal=self.causal,
+            scale=self.dim_head**-0.5,
+            dropout=self.dropout if not deterministic else 0.0,
+            dropout_key=dropout_key,
+            backend="flash" if self.use_flash else "auto",
+        )
+
+        b, _, n, _ = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, dim_inner)
+        return nn.Dense(self.dim, use_bias=False, name="to_out")(out)
+
+
+class Transformer(nn.Module):
+    """Pre-norm encoder: depth × [RMSNorm→attn, RMSNorm→FF] (ref :1073-1115)."""
+
+    dim: int
+    depth: int
+    causal: bool = False
+    dim_head: int = 64
+    heads: int = 8
+    use_flash: bool = False
+    dropout: float = 0.0
+    ff_mult: int = 4
+    final_norm: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        from naturalspeech2_tpu.models.blocks import FeedForward, RMSNorm
+
+        for i in range(self.depth):
+            attn_in = RMSNorm(self.dim, name=f"attn_norm_{i}")(x)
+            x = Attention(
+                dim=self.dim,
+                causal=self.causal,
+                dim_head=self.dim_head,
+                heads=self.heads,
+                dropout=self.dropout,
+                use_flash=self.use_flash,
+                name=f"attn_{i}",
+            )(attn_in, mask=mask, deterministic=deterministic) + x
+            ff_in = RMSNorm(self.dim, name=f"ff_norm_{i}")(x)
+            x = FeedForward(self.dim, mult=self.ff_mult, name=f"ff_{i}")(ff_in) + x
+
+        if self.final_norm:
+            x = RMSNorm(self.dim, name="final_norm")(x)
+        return x
+
+
+class ConditionableTransformer(nn.Module):
+    """Adaptive-RMSNorm transformer with optional cross-attention (ref :748-809).
+
+    Each layer: adaRMSNorm(t)→self-attn → [adaRMSNorm(t)→cross-attn(context)]
+    → adaRMSNorm(t)→FF(causal-conv), all residual; head = RMSNorm + Dense.
+    """
+
+    dim: int
+    depth: int
+    dim_head: int = 64
+    heads: int = 8
+    ff_mult: int = 4
+    ff_causal_conv: bool = False
+    dim_cond_mult: Optional[int] = None
+    cross_attn: bool = False
+    use_flash: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        times: Optional[jax.Array] = None,
+        context: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        from naturalspeech2_tpu.models.blocks import FeedForward, RMSNorm
+
+        cond = self.dim_cond_mult is not None
+        norm_kwargs = (
+            dict(scale=not cond, dim_cond=self.dim * self.dim_cond_mult)
+            if cond
+            else {}
+        )
+
+        t = times
+        for i in range(self.depth):
+            res = x
+            x = RMSNorm(self.dim, **norm_kwargs, name=f"attn_norm_{i}")(x, cond=t)
+            x = Attention(
+                dim=self.dim,
+                dim_head=self.dim_head,
+                heads=self.heads,
+                use_flash=self.use_flash,
+                name=f"attn_{i}",
+            )(x, deterministic=deterministic) + res
+
+            if self.cross_attn:
+                assert context is not None
+                res = x
+                x = RMSNorm(self.dim, **norm_kwargs, name=f"cross_attn_norm_{i}")(
+                    x, cond=t
+                )
+                x = Attention(
+                    dim=self.dim,
+                    dim_head=self.dim_head,
+                    heads=self.heads,
+                    use_flash=self.use_flash,
+                    name=f"cross_attn_{i}",
+                )(x, context=context, deterministic=deterministic) + res
+
+            res = x
+            x = RMSNorm(self.dim, **norm_kwargs, name=f"ff_norm_{i}")(x, cond=t)
+            x = FeedForward(
+                self.dim, mult=self.ff_mult, causal_conv=self.ff_causal_conv,
+                name=f"ff_{i}",
+            )(x) + res
+
+        x = RMSNorm(self.dim, name="pred_norm")(x)
+        return nn.Dense(self.dim, use_bias=False, name="to_pred")(x)
