@@ -1,0 +1,524 @@
+"""NaturalSpeech 2 — continuous-latent gaussian diffusion wrapper.
+
+TPU-native counterpart of the reference `NaturalSpeech2`
+(`/root/reference/naturalspeech2_pytorch/naturalspeech2_pytorch.py:1160-1684`):
+v/eps/x0 objectives over codec latents, sigmoid/cosine/linear γ schedules,
+min-SNR loss weighting, optional RVQ cross-entropy, classifier-free
+guidance, DDIM (default) and DDPM ancestral samplers.
+
+TPU-first re-design:
+- the 1000-step sampling loop is a ``lax.scan`` over timestep pairs — one
+  compiled program, no per-step Python dispatch (ref loops in Python with
+  tqdm, :1392);
+- guided sampling fuses cond/uncond into one batch-doubled forward
+  (see `denoiser.forward_with_cond_scale`);
+- randomness is explicit PRNG keys (flax rng collections 'times', 'noise',
+  'cfg', plus a key argument for sampling).
+
+Known reference defects intentionally fixed here (SURVEY.md §7):
+- `ddpm_sample` uses a working `jnp.expm1` and a 3-D noise mask (ref's bare
+  ``expm1``/4-D mask at :1361,:1370 crash);
+- the conditional aux loss (duration/pitch/align) IS added to the returned
+  training loss (the reference computes then drops it, :1600-1684).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from naturalspeech2_tpu.models.codec import SoundStream
+from naturalspeech2_tpu.models.denoiser import Model, forward_with_cond_scale
+from naturalspeech2_tpu.ops.schedules import (
+    gamma_to_alpha_sigma,
+    gamma_to_log_snr,
+    get_schedule,
+)
+from naturalspeech2_tpu.utils.helpers import (
+    generate_mask_from_repeats,
+    safe_div,
+    safe_log,
+)
+
+
+class NaturalSpeech2(nn.Module):
+    model: Model
+    codec: Optional[SoundStream] = None
+    target_sample_hz: Optional[int] = None
+    timesteps: int = 1000
+    use_ddim: bool = True
+    noise_schedule: str = "sigmoid"
+    objective: str = "v"
+    schedule_kwargs: Optional[dict] = None
+    time_difference: float = 0.0
+    min_snr_loss_weight: bool = True
+    min_snr_gamma: float = 5.0
+    rvq_cross_entropy_loss_weight: float = 0.0
+    dim_codebook: int = 128
+    duration_pitch_dim: int = 512
+    aligner_dim_in: int = 80
+    aligner_dim_hidden: int = 512
+    aligner_attn_channels: int = 80
+    num_phoneme_tokens: int = 150
+    pitch_emb_dim: int = 256
+    pitch_emb_pp_hidden_dim: int = 512
+    mel_hop_length: int = 160
+    scale: float = 1.0
+    duration_loss_weight: float = 1.0
+    pitch_loss_weight: float = 1.0
+    aligner_loss_weight: float = 1.0
+    aligner_bin_loss_weight: float = 0.0
+
+    @property
+    def conditional(self) -> bool:
+        return self.model.condition_on_prompt
+
+    @property
+    def dim(self) -> int:
+        return self.codec.codebook_dim if self.codec is not None else self.model.dim
+
+    @property
+    def sample_hz(self) -> int:
+        return (
+            self.codec.target_sample_hz
+            if self.codec is not None
+            else self.target_sample_hz
+        )
+
+    def gamma_schedule(self, times: jax.Array) -> jax.Array:
+        fn = get_schedule(self.noise_schedule)
+        return fn(times, **(self.schedule_kwargs or {}))
+
+    def setup(self):
+        assert self.objective in {"x0", "eps", "v"}
+        assert self.scale <= 1.0
+        if self.codec is not None:
+            assert self.model.dim == self.codec.codebook_dim, (
+                f"model dim {self.model.dim} must equal codec codebook dim "
+                f"{self.codec.codebook_dim}"
+            )
+        if self.conditional:
+            from naturalspeech2_tpu.models.aligner import (
+                Aligner,
+                BinLoss,
+                ForwardSumLoss,
+            )
+            from naturalspeech2_tpu.models.encoders import (
+                DurationPitchPredictor,
+                PhonemeEncoder,
+                SpeechPromptEncoder,
+            )
+
+            self.phoneme_enc = PhonemeEncoder(num_tokens=self.num_phoneme_tokens)
+            self.prompt_enc = SpeechPromptEncoder(dim_codebook=self.dim_codebook)
+            self.duration_pitch = DurationPitchPredictor(dim=self.duration_pitch_dim)
+            self.aligner = Aligner(
+                dim_in=self.aligner_dim_in,
+                dim_hidden=self.aligner_dim_hidden,
+                attn_channels=self.aligner_attn_channels,
+            )
+            self.pitch_emb = nn.Embed(self.pitch_emb_dim, self.pitch_emb_pp_hidden_dim)
+            self.aligner_loss = ForwardSumLoss()
+            self.bin_loss = BinLoss()
+
+    # ------------------------------------------------------------------ #
+    # conditioning helpers
+    # ------------------------------------------------------------------ #
+
+    def process_prompt(self, prompt: jax.Array) -> jax.Array:
+        """Raw 2-D prompt audio → codec latents, no grad (ref :1433-1447)."""
+        if prompt.ndim == 2:
+            assert self.codec is not None
+            latents, _, _ = self.codec(
+                prompt, return_encoded=True, curtail_from_left=True
+            )
+            prompt = jax.lax.stop_gradient(latents)
+        return prompt
+
+    def expand_encodings(
+        self, phoneme_enc: jax.Array, attn: jax.Array, pitch: jax.Array
+    ) -> jax.Array:
+        """Expand phoneme encodings + pitch embedding to frame rate through
+        the alignment mask (ref :1449-1455).
+
+        phoneme_enc ``[b, t_x, d]``, attn ``[b, t_x, n]`` (float),
+        pitch ``[b, 1, n]``. Returns ``[b, n, d]``.
+        """
+        from naturalspeech2_tpu.ops.pitch import f0_to_coarse
+
+        expanded_dur = jnp.einsum("btn,btd->bnd", attn, phoneme_enc)
+        pitch_coarse = f0_to_coarse(pitch[:, 0], f0_bin=self.pitch_emb_dim)
+        pitch_emb = self.pitch_emb(pitch_coarse)  # [b, n_frames, d]
+        # frame-level pitch embedding averaged onto phonemes then re-expanded
+        # — the reference expands a phoneme-rate pitch embedding through the
+        # same attn mask; here pitch arrives at phoneme rate already when
+        # averaged (training) or predicted (sampling), so expand directly.
+        expanded_pitch = jnp.einsum("btn,btd->bnd", attn, pitch_emb)
+        return expanded_dur + expanded_pitch
+
+    # ------------------------------------------------------------------ #
+    # training forward
+    # ------------------------------------------------------------------ #
+
+    def __call__(
+        self,
+        audio: jax.Array,
+        text: Optional[jax.Array] = None,
+        text_lens: Optional[jax.Array] = None,
+        mel: Optional[jax.Array] = None,
+        mel_lens: Optional[jax.Array] = None,
+        codes: Optional[jax.Array] = None,
+        prompt: Optional[jax.Array] = None,
+        pitch: Optional[jax.Array] = None,
+        deterministic: bool = False,
+    ) -> Dict[str, jax.Array]:
+        """Training losses. Returns dict with 'loss' (total), 'diffusion',
+        and (conditional) 'duration', 'pitch', 'align' components
+        (ref forward :1503-1684)."""
+        prompt_enc = None
+        cond = None
+        aux_loss = 0.0
+        aux = {}
+
+        if self.conditional:
+            (
+                prompt_enc,
+                cond,
+                aux_loss,
+                aux,
+            ) = self._conditional_inputs_and_losses(
+                audio, text, text_lens, mel, mel_lens, prompt, pitch,
+                deterministic=deterministic,
+            )
+
+        # raw audio → codec latents (frozen codec, ref :1605-1611)
+        if audio.ndim == 2:
+            assert self.codec is not None
+            latents, codes, _ = self.codec(audio, return_encoded=True)
+            audio = jax.lax.stop_gradient(latents)
+            codes = jax.lax.stop_gradient(codes)
+
+        b, n, d = audio.shape
+        assert d == self.dim
+
+        times = jax.random.uniform(self.make_rng("times"), (b,))
+        noise = jax.random.normal(self.make_rng("noise"), audio.shape, audio.dtype)
+
+        gamma = self.gamma_schedule(times)[:, None, None]
+        alpha, sigma = gamma_to_alpha_sigma(gamma, self.scale)
+        noised = alpha * audio + sigma * noise
+
+        pred = self.model(
+            noised, times, prompt=prompt_enc, cond=cond,
+            deterministic=deterministic,
+        )
+
+        if self.objective == "eps":
+            target = noise
+        elif self.objective == "x0":
+            target = audio
+        else:  # v
+            target = alpha * noise - sigma * audio
+
+        loss = ((pred - target) ** 2).mean(axis=(1, 2))  # per-sample
+
+        # min-SNR weighting (ref :1651-1666)
+        snr = (alpha * alpha) / (sigma * sigma)
+        snr = snr[:, 0, 0]
+        clipped_snr = (
+            jnp.minimum(snr, self.min_snr_gamma) if self.min_snr_loss_weight else snr
+        )
+        if self.objective == "eps":
+            loss_weight = clipped_snr / snr
+        elif self.objective == "x0":
+            loss_weight = clipped_snr
+        else:  # v
+            loss_weight = clipped_snr / (snr + 1)
+
+        diffusion_loss = (loss * loss_weight).mean()
+        total = diffusion_loss + aux_loss
+
+        losses = {"loss": total, "diffusion": diffusion_loss, **aux}
+
+        if self.rvq_cross_entropy_loss_weight > 0 and codes is not None:
+            if self.objective == "x0":
+                x_start = pred
+            elif self.objective == "eps":
+                x_start = safe_div(audio - sigma * pred, alpha)
+            else:
+                x_start = alpha * audio - sigma * pred
+            _, ce_loss = self.codec.rq(x_start, codes)
+            losses["rvq_ce"] = ce_loss
+            losses["loss"] = total + self.rvq_cross_entropy_loss_weight * ce_loss
+
+        return losses
+
+    def _conditional_inputs_and_losses(
+        self, audio, text, text_lens, mel, mel_lens, prompt, pitch,
+        deterministic: bool,
+    ):
+        from naturalspeech2_tpu.ops.mel import audio_to_mel
+        from naturalspeech2_tpu.ops.pitch import compute_pitch
+        from naturalspeech2_tpu.utils.helpers import (
+            average_over_durations,
+            create_mask,
+        )
+
+        assert prompt is not None and text is not None
+        batch = prompt.shape[0]
+        text_max_length = text.shape[-1]
+        if text_lens is None:
+            text_lens = jnp.full((batch,), text_max_length, dtype=jnp.int32)
+        text_lens = jnp.minimum(text_lens, text_max_length)
+        text_mask = create_mask(text_lens, text_max_length)
+
+        prompt_latents = self.process_prompt(prompt)
+        prompt_enc = self.prompt_enc(prompt_latents, deterministic=deterministic)
+        phoneme_enc = self.phoneme_enc(
+            text, mask=text_mask, deterministic=deterministic
+        )
+
+        if pitch is None:
+            assert audio.ndim == 2
+            pitch = compute_pitch(
+                audio, sample_rate=self.sample_hz, hop_length=self.mel_hop_length
+            )[:, None, :]  # [b, 1, frames]
+
+        if mel is None:
+            assert audio.ndim == 2
+            mel = audio_to_mel(
+                audio,
+                sample_rate=self.sample_hz,
+                n_mels=self.aligner_dim_in,
+                hop_length=self.mel_hop_length,
+            )  # [b, n_mels, frames]
+            mel = mel[..., : pitch.shape[-1]]
+        pitch = pitch[..., : mel.shape[-1]]
+
+        mel_max_length = mel.shape[-1]
+        if mel_lens is None:
+            mel_lens = jnp.full((batch,), mel_max_length, dtype=jnp.int32)
+        mel_lens = jnp.minimum(mel_lens, mel_max_length)
+        mel_mask = create_mask(mel_lens, mel_max_length)
+
+        aln_hard, aln_soft, aln_log, aln_mask = self.aligner(
+            phoneme_enc, text_mask, mel, mel_mask
+        )
+        duration_pred, pitch_pred = self.duration_pitch(
+            phoneme_enc, prompt_enc, deterministic=deterministic
+        )
+
+        pitch_phon = average_over_durations(pitch, aln_hard)  # [b, 1, t_x]
+        cond = self.expand_encodings(
+            phoneme_enc, aln_mask.astype(phoneme_enc.dtype), pitch_phon
+        )
+
+        duration_loss = jnp.abs(aln_hard - duration_pred).mean()
+        pitch_loss = jnp.abs(pitch_phon[:, 0] - pitch_pred).mean()
+        align_loss = self.aligner_loss(aln_log, text_lens, mel_lens)
+        if self.aligner_bin_loss_weight > 0.0:
+            align_loss = align_loss + (
+                self.bin_loss(aln_mask, aln_log, text_lens)
+                * self.aligner_bin_loss_weight
+            )
+
+        aux_loss = (
+            duration_loss * self.duration_loss_weight
+            + pitch_loss * self.pitch_loss_weight
+            + align_loss * self.aligner_loss_weight
+        )
+        aux = {
+            "duration": duration_loss,
+            "pitch": pitch_loss,
+            "align": align_loss,
+        }
+        return prompt_enc, cond, aux_loss, aux
+
+    # ------------------------------------------------------------------ #
+    # sampling-time conditioning (text+prompt → cond tensors)
+    # ------------------------------------------------------------------ #
+
+    def conditioning_for_sample(
+        self,
+        prompt: jax.Array,
+        text: jax.Array,
+        text_lens: Optional[jax.Array] = None,
+        max_frames: Optional[int] = None,
+    ):
+        """Encode prompt + text, predict duration/pitch, build the aligned
+        frame condition (ref sample :1467-1483). ``max_frames`` is the static
+        frame budget for the duration expansion (defaults to 2× text budget).
+        Returns (prompt_enc, cond, duration)."""
+        prompt_latents = self.process_prompt(prompt)
+        prompt_enc = self.prompt_enc(prompt_latents, deterministic=True)
+        phoneme_enc = self.phoneme_enc(text, deterministic=True)
+
+        duration, pitch = self.duration_pitch(
+            phoneme_enc, prompt_enc, deterministic=True
+        )
+        pitch = pitch[:, None, :]
+
+        if max_frames is None:
+            max_frames = text.shape[-1] * 2
+        aln_mask = generate_mask_from_repeats(
+            jnp.round(duration).astype(jnp.int32), max_frames
+        ).astype(phoneme_enc.dtype)
+
+        cond = self.expand_encodings(phoneme_enc, aln_mask, pitch)
+        return prompt_enc, cond, duration
+
+
+# ---------------------------------------------------------------------- #
+# samplers — pure functions, lax.scan over timestep pairs
+# ---------------------------------------------------------------------- #
+
+
+def get_sampling_time_pairs(timesteps: int) -> jax.Array:
+    """(t, t_next) pairs on linspace 1→0 (ref :1303-1308). ``[T, 2]``."""
+    times = jnp.linspace(1.0, 0.0, timesteps + 1)
+    return jnp.stack([times[:-1], times[1:]], axis=-1)
+
+
+def _reconstruct_x0(objective, audio, model_output, alpha, sigma):
+    if objective == "x0":
+        return model_output
+    if objective == "eps":
+        return safe_div(audio - sigma * model_output, alpha)
+    return alpha * audio - sigma * model_output  # v
+
+
+def ddim_sample(
+    denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    key: jax.Array,
+    shape: Tuple[int, ...],
+    *,
+    timesteps: int,
+    gamma_schedule: Callable[[jax.Array], jax.Array],
+    objective: str = "v",
+    scale: float = 1.0,
+    time_difference: float = 0.0,
+) -> jax.Array:
+    """DDIM sampler (ref :1379-1431) as one `lax.scan`.
+
+    ``denoise_fn(audio, times)`` is the (already CFG-fused) model forward.
+    """
+    audio0 = jax.random.normal(key, shape)
+    pairs = get_sampling_time_pairs(timesteps)
+
+    def body(audio, pair):
+        t, t_next = pair[0], pair[1]
+        gamma = gamma_schedule(t)
+        gamma_next = gamma_schedule(jnp.clip(t_next - time_difference, min=0.0))
+        alpha, sigma = gamma_to_alpha_sigma(gamma, scale)
+        alpha_next, sigma_next = gamma_to_alpha_sigma(gamma_next, scale)
+
+        model_output = denoise_fn(audio, jnp.broadcast_to(t, (shape[0],)))
+        x_start = _reconstruct_x0(objective, audio, model_output, alpha, sigma)
+        pred_noise = safe_div(audio - alpha * x_start, sigma)
+        audio = x_start * alpha_next + pred_noise * sigma_next
+        return audio, ()
+
+    audio, _ = jax.lax.scan(body, audio0, pairs)
+    return audio
+
+
+def ddpm_sample(
+    denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    key: jax.Array,
+    shape: Tuple[int, ...],
+    *,
+    timesteps: int,
+    gamma_schedule: Callable[[jax.Array], jax.Array],
+    objective: str = "v",
+    scale: float = 1.0,
+    time_difference: float = 0.0,
+) -> jax.Array:
+    """DDPM ancestral sampler (ref :1310-1377, with the `expm1`/mask-rank
+    defects fixed) as one `lax.scan`."""
+    key, init_key = jax.random.split(key)
+    audio0 = jax.random.normal(init_key, shape)
+    pairs = get_sampling_time_pairs(timesteps)
+    step_keys = jax.random.split(key, timesteps)
+
+    def body(audio, inputs):
+        pair, step_key = inputs
+        t = pair[0]
+        t_next = jnp.clip(pair[1] - time_difference, min=0.0)
+
+        gamma = gamma_schedule(t)
+        gamma_next = gamma_schedule(t_next)
+        alpha, sigma = gamma_to_alpha_sigma(gamma, scale)
+        alpha_next, sigma_next = gamma_to_alpha_sigma(gamma_next, scale)
+
+        model_output = denoise_fn(audio, jnp.broadcast_to(t, (shape[0],)))
+        x_start = _reconstruct_x0(objective, audio, model_output, alpha, sigma)
+
+        log_snr = gamma_to_log_snr(gamma, scale)
+        log_snr_next = gamma_to_log_snr(gamma_next, scale)
+        c = -jnp.expm1(log_snr - log_snr_next)
+
+        mean = alpha_next * (audio * (1 - c) / jnp.maximum(alpha, 1e-10) + c * x_start)
+        variance = (sigma_next**2) * c
+        log_variance = safe_log(variance)
+
+        noise = jnp.where(
+            t_next > 0, jax.random.normal(step_key, audio.shape), 0.0
+        )
+        audio = mean + jnp.exp(0.5 * log_variance) * noise
+        return audio, ()
+
+    audio, _ = jax.lax.scan(body, audio0, (pairs, step_keys))
+    return audio
+
+
+def sample(
+    ns2: NaturalSpeech2,
+    variables,
+    key: jax.Array,
+    *,
+    length: int,
+    prompt: Optional[jax.Array] = None,
+    text: Optional[jax.Array] = None,
+    text_lens: Optional[jax.Array] = None,
+    batch_size: int = 1,
+    cond_scale: float = 1.0,
+) -> jax.Array:
+    """End-to-end sampling: [conditioning →] diffusion → codec decode
+    (ref sample :1457-1501). Jittable with static ``length``/``batch_size``."""
+    model_vars = {"params": variables["params"]["model"]}
+    prompt_enc = cond = None
+
+    if ns2.conditional:
+        assert prompt is not None and text is not None
+        prompt_enc, cond, _ = ns2.apply(
+            variables, prompt, text, text_lens, length,
+            method=ns2.conditioning_for_sample,
+        )
+        batch_size = prompt.shape[0]
+
+    def denoise_fn(audio, times):
+        return forward_with_cond_scale(
+            ns2.model, model_vars, audio, times,
+            prompt=prompt_enc, cond=cond, cond_scale=cond_scale,
+        )
+
+    sampler = ddim_sample if ns2.use_ddim else ddpm_sample
+    latents = sampler(
+        denoise_fn,
+        key,
+        (batch_size, length, ns2.dim),
+        timesteps=ns2.timesteps,
+        gamma_schedule=ns2.gamma_schedule,
+        objective=ns2.objective,
+        scale=ns2.scale,
+        time_difference=ns2.time_difference,
+    )
+
+    if ns2.codec is not None:
+        codec_vars = {"params": variables["params"]["codec"]}
+        return ns2.codec.apply(codec_vars, latents, method=ns2.codec.decode)
+    return latents
