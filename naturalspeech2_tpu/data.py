@@ -1,0 +1,143 @@
+"""Host-side audio data pipeline.
+
+TPU-native replacement for the reference's external
+`audiolm_pytorch.data.SoundDataset` + torch DataLoader
+(`/root/reference/naturalspeech2_pytorch/naturalspeech2_pytorch.py:1759-1772`):
+folder of audio files → load → resample to the codec rate → random-crop to
+``max_length`` → pad to ``seq_len_multiple_of`` → fixed-shape numpy batches
+ready for `jax.device_put` onto a data-sharded mesh.
+
+Decoding uses the native C++ loader (`native/audioio`) when built, falling
+back to scipy/wave for WAV. Fixed output shapes keep every training step at
+one compiled XLA program.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import wave
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+AUDIO_EXTS = (".wav", ".flac")
+
+
+def _load_wav_python(path: str):
+    """Pure-python/scipy WAV loader → (float32 mono [-1,1], sample_rate)."""
+    try:
+        from scipy.io import wavfile
+
+        sr, data = wavfile.read(path)
+        data = np.asarray(data)
+    except Exception:
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+            width = w.getsampwidth()
+            dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+            data = np.frombuffer(raw, dtype=dtype).reshape(-1, w.getnchannels())
+
+    if data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    elif np.issubdtype(data.dtype, np.integer):
+        data = data.astype(np.float32) / float(np.iinfo(data.dtype).max)
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 2:
+        data = data.mean(axis=-1)
+    return data, sr
+
+
+def load_audio(path: str):
+    """Load an audio file → (float32 mono, sample_rate). Uses the native C++
+    decoder when available."""
+    try:
+        from naturalspeech2_tpu.native import audioio
+
+        return audioio.load(path)
+    except Exception:
+        pass
+    if str(path).lower().endswith(".wav"):
+        return _load_wav_python(path)
+    raise ValueError(
+        f"cannot decode {path}: build the native audio loader (make -C native) "
+        "or provide WAV input"
+    )
+
+
+def resample(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    if sr == target_sr:
+        return audio
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(sr, target_sr)
+    return resample_poly(audio, target_sr // g, sr // g).astype(np.float32)
+
+
+class SoundDataset:
+    """Folder of audio → fixed-shape float32 crops (reference SoundDataset
+    contract: resample, random-crop ``max_length``, pad to hop multiple)."""
+
+    def __init__(
+        self,
+        folder: str,
+        max_length: int,
+        target_sample_hz: int = 24000,
+        seq_len_multiple_of: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.paths: List[Path] = sorted(
+            p for p in Path(folder).rglob("*") if p.suffix.lower() in AUDIO_EXTS
+        )
+        assert len(self.paths) > 0, f"no audio files found in {folder}"
+        self.max_length = max_length
+        self.target_sample_hz = target_sample_hz
+        self.seq_len_multiple_of = seq_len_multiple_of
+        self.rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        audio, sr = load_audio(str(self.paths[idx]))
+        audio = resample(audio, sr, self.target_sample_hz)
+
+        target = self.max_length
+        if len(audio) > target:
+            start = self.rng.randint(0, len(audio) - target)
+            audio = audio[start : start + target]
+        elif len(audio) < target:
+            audio = np.pad(audio, (0, target - len(audio)))
+
+        if self.seq_len_multiple_of:
+            m = self.seq_len_multiple_of
+            usable = (len(audio) // m) * m
+            audio = audio[:usable]
+        return audio.astype(np.float32)
+
+
+def data_loader(
+    dataset: SoundDataset,
+    batch_size: int,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+) -> Iterator[np.ndarray]:
+    """Infinite iterator of ``[batch, max_length]`` float32 batches
+    (the reference cycles its DataLoader, :1825-1831)."""
+    rng = random.Random(seed)
+    order = list(range(len(dataset)))
+    while True:
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
+            idxs = order[i : i + batch_size]
+            if len(idxs) < batch_size:
+                idxs = idxs + order[: batch_size - len(idxs)]
+            yield np.stack([dataset[j] for j in idxs])

@@ -1,0 +1,339 @@
+"""Training harness — mesh-sharded jitted train step, EMA, checkpointing.
+
+TPU-native replacement for the reference `Trainer`
+(`/root/reference/naturalspeech2_pytorch/naturalspeech2_pytorch.py:1693-1932`),
+re-designed for XLA instead of translated from Accelerate:
+
+- one jitted train step containing grad-accumulation (`lax.scan` over
+  micro-batches), global-norm clip (1.0), Adam(lr 1e-4, β=(0.9, 0.99)) and
+  the EMA update (decay 0.995 every 10 steps) — the reference's Python-side
+  accumulate/clip/step/EMA loop (:1878-1901) collapses into one XLA program;
+- data parallelism via a `jax.sharding.Mesh`: the batch is sharded over the
+  ``data`` axis and XLA inserts the gradient all-reduce — no DDP wrapper,
+  no explicit barriers;
+- mixed precision: ``amp=True`` runs the loss in bfloat16 (TPU-native;
+  reference uses fp16 GradScaler which bf16 does not need);
+- checkpoints: single-file msgpack of {step, params, opt_state, ema_params,
+  version}, same logical contents as the reference's torch.save (:1837-1846).
+"""
+
+from __future__ import annotations
+
+import os
+import wave as wave_mod
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from naturalspeech2_tpu.models.naturalspeech2 import NaturalSpeech2, sample
+from naturalspeech2_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    is_main_process,
+    make_mesh,
+    replicated,
+)
+from naturalspeech2_tpu.version import __version__
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def write_wav(path: str, audio: np.ndarray, sample_rate: int):
+    """Write mono float32 [-1, 1] audio as 16-bit WAV (host-side)."""
+    audio = np.clip(np.asarray(audio, dtype=np.float32), -1.0, 1.0)
+    pcm = (audio * 32767.0).astype(np.int16)
+    with wave_mod.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+
+
+class Trainer:
+    def __init__(
+        self,
+        diffusion_model: NaturalSpeech2,
+        *,
+        folder: Optional[str] = None,
+        dataset=None,
+        batches: Optional[Iterator[np.ndarray]] = None,
+        train_batch_size: int = 16,
+        grad_accum_every: int = 1,
+        lr: float = 1e-4,
+        betas: Tuple[float, float] = (0.9, 0.99),
+        max_grad_norm: float = 1.0,
+        ema_decay: float = 0.995,
+        ema_update_every: int = 10,
+        train_num_steps: int = 100_000,
+        save_and_sample_every: int = 1000,
+        results_folder: str = "./results",
+        amp: bool = False,
+        data_max_length: Optional[int] = None,
+        data_max_length_seconds: Optional[float] = 2.0,
+        sample_length: int = 1024,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.ns2 = diffusion_model
+        self.train_batch_size = train_batch_size
+        self.grad_accum_every = grad_accum_every
+        self.max_grad_norm = max_grad_norm
+        self.ema_decay = ema_decay
+        self.ema_update_every = ema_update_every
+        self.train_num_steps = train_num_steps
+        self.save_and_sample_every = save_and_sample_every
+        self.results_folder = Path(results_folder)
+        self.results_folder.mkdir(parents=True, exist_ok=True)
+        self.amp = amp
+        self.sample_length = sample_length
+        self.seed = seed
+
+        target_hz = self.ns2.sample_hz
+        if data_max_length is None and data_max_length_seconds is not None:
+            data_max_length = int(data_max_length_seconds * target_hz)
+        self.data_max_length = data_max_length
+
+        # data source: explicit iterator > dataset > folder (ref :1744-1764)
+        if batches is not None:
+            self.batches = batches
+        else:
+            from naturalspeech2_tpu.data import SoundDataset, data_loader
+
+            if dataset is None:
+                assert folder is not None, "provide folder, dataset or batches"
+                dataset = SoundDataset(
+                    folder,
+                    max_length=data_max_length,
+                    target_sample_hz=target_hz,
+                    seq_len_multiple_of=self.ns2.codec.seq_len_multiple_of
+                    if self.ns2.codec is not None
+                    else None,
+                )
+            self.batches = data_loader(
+                dataset, train_batch_size * grad_accum_every, seed=seed
+            )
+
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(max_grad_norm),
+            optax.adam(lr, b1=betas[0], b2=betas[1]),
+        )
+
+        self._jit_train_step = None
+        self.state: Optional[TrainState] = None
+
+    # ------------------------------------------------------------------ #
+
+    def init_state(self, example_batch: np.ndarray) -> TrainState:
+        key = jax.random.PRNGKey(self.seed)
+        rngs = {
+            name: key
+            for name in ("params", "times", "noise", "cfg", "dropout")
+        }
+        micro = example_batch[: self.train_batch_size]
+        variables = self.ns2.init(rngs, jnp.asarray(micro))
+        params = variables["params"]
+        # decoder params are only traced by sampling; make sure the codec has
+        # its full parameter set so checkpoints are complete
+        if self.ns2.codec is not None:
+            codec_full = self.ns2.codec.init(key, jnp.asarray(micro))
+            merged = dict(params)
+            merged["codec"] = codec_full["params"]
+            params = flax.core.freeze(merged) if isinstance(
+                variables["params"], flax.core.FrozenDict
+            ) else merged
+        opt_state = self.optimizer.init(params)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            ema_params=jax.tree_util.tree_map(jnp.copy, params),
+        )
+        return self.state
+
+    def _loss_fn(self, params, batch, rngs):
+        if self.amp:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32
+                else p,
+                params,
+            )
+            batch = batch.astype(jnp.bfloat16)
+        losses = self.ns2.apply({"params": params}, batch, rngs=rngs)
+        return losses["loss"].astype(jnp.float32), {
+            k: v.astype(jnp.float32) for k, v in losses.items()
+        }
+
+    def _train_step(self, state: TrainState, batch: jax.Array, key: jax.Array):
+        """One optimizer step over ``[accum, micro_batch, ...]``."""
+        accum = self.grad_accum_every
+
+        def micro_grads(carry, inputs):
+            g_acc, loss_acc = carry
+            micro, k = inputs
+            rngs = {
+                "times": jax.random.fold_in(k, 0),
+                "noise": jax.random.fold_in(k, 1),
+                "cfg": jax.random.fold_in(k, 2),
+                "dropout": jax.random.fold_in(k, 3),
+            }
+            (loss, metrics), grads = jax.value_and_grad(
+                self._loss_fn, has_aux=True
+            )(state.params, micro, rngs)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            return (g_acc, loss_acc + loss), metrics
+
+        zeros = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        keys = jax.random.split(key, accum)
+        (grads, loss_sum), metrics = jax.lax.scan(
+            micro_grads, (zeros, 0.0), (batch, keys)
+        )
+        grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+
+        updates, opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+
+        step = state.step + 1
+        d = self.ema_decay
+
+        def ema_update(ema):
+            return jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1 - d), ema, params
+            )
+
+        ema_params = jax.lax.cond(
+            step % self.ema_update_every == 0,
+            ema_update,
+            lambda ema: ema,
+            state.ema_params,
+        )
+
+        new_state = TrainState(
+            step=step, params=params, opt_state=opt_state, ema_params=ema_params
+        )
+        mean_metrics = jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+        mean_metrics["loss"] = loss_sum / accum
+        return new_state, mean_metrics
+
+    def build_train_step(self):
+        """Jit the train step with data-sharded batch over the mesh."""
+        rep = replicated(self.mesh)
+        bsh = NamedSharding(self.mesh, P(None, DATA_AXIS))  # [accum, micro, ...]
+        self._jit_train_step = jax.jit(
+            self._train_step,
+            in_shardings=(rep, bsh, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        return self._jit_train_step
+
+    # ------------------------------------------------------------------ #
+
+    def save(self, milestone) -> str:
+        if not is_main_process():
+            return ""
+        payload = {
+            "step": np.asarray(self.state.step),
+            "params": flax.serialization.to_state_dict(self.state.params),
+            "opt_state": flax.serialization.to_state_dict(self.state.opt_state),
+            "ema_params": flax.serialization.to_state_dict(self.state.ema_params),
+            "version": __version__,
+        }
+        path = self.results_folder / f"model-{milestone}.ckpt"
+        path.write_bytes(flax.serialization.msgpack_serialize(payload))
+        return str(path)
+
+    def load(self, path: str):
+        assert self.state is not None, "call init_state first"
+        payload = flax.serialization.msgpack_restore(Path(path).read_bytes())
+        self.state = TrainState(
+            step=jnp.asarray(payload["step"]),
+            params=flax.serialization.from_state_dict(
+                self.state.params, payload["params"]
+            ),
+            opt_state=flax.serialization.from_state_dict(
+                self.state.opt_state, payload["opt_state"]
+            ),
+            ema_params=flax.serialization.from_state_dict(
+                self.state.ema_params, payload["ema_params"]
+            ),
+        )
+        if payload.get("version") != __version__:
+            print(
+                f"checkpoint saved with version {payload.get('version')}, "
+                f"loading into {__version__}"
+            )
+        return self.state
+
+    # ------------------------------------------------------------------ #
+
+    def train(self, log_every: int = 50):
+        step_shape = None
+        batch = next(self.batches)
+        if self.state is None:
+            self.init_state(batch)
+        if self._jit_train_step is None:
+            self.build_train_step()
+
+        key = jax.random.PRNGKey(self.seed + 1)
+        bsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+        while int(self.state.step) < self.train_num_steps:
+            batch = np.reshape(
+                batch, (self.grad_accum_every, self.train_batch_size, -1)
+            )
+            batch = jax.device_put(batch, bsh)
+            key, step_key = jax.random.split(key)
+            self.state, metrics = self._jit_train_step(
+                self.state, batch, step_key
+            )
+            step = int(self.state.step)
+
+            if step % log_every == 0 and is_main_process():
+                print(f"step {step}: loss {float(metrics['loss']):.4f}")
+
+            if step % self.save_and_sample_every == 0:
+                self.sample_and_save(step // self.save_and_sample_every)
+
+            batch = next(self.batches)
+
+        if is_main_process():
+            print("training complete")
+
+    def sample_and_save(self, milestone):
+        if not is_main_process():
+            return
+        if not self.ns2.conditional:
+            audio = sample(
+                self.ns2,
+                {"params": self.state.ema_params},
+                jax.random.PRNGKey(int(milestone)),
+                length=self.sample_length,
+                batch_size=1,
+            )
+            write_wav(
+                self.results_folder / f"sample-{milestone}.wav",
+                np.asarray(audio[0]),
+                self.ns2.sample_hz,
+            )
+        # conditional sampling needs prompt+text — the reference crashes here
+        # (SURVEY.md §7 known defects); we skip generation instead.
+        self.save(milestone)

@@ -1,0 +1,131 @@
+"""Trainer tests: jitted sharded train step over the 8-device CPU mesh,
+EMA, checkpoint round-trip, data pipeline."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from naturalspeech2_tpu.models.codec import SoundStream
+from naturalspeech2_tpu.models.denoiser import Model
+from naturalspeech2_tpu.models.naturalspeech2 import NaturalSpeech2
+from naturalspeech2_tpu.parallel.mesh import make_mesh
+from naturalspeech2_tpu.trainer import Trainer, write_wav
+
+
+def tiny_ns2():
+    codec = SoundStream(
+        codebook_dim=16, channels=4, num_quantizers=2, codebook_size=16,
+        use_pallas_rvq=False,
+    )
+    model = Model(dim=16, depth=1, heads=2, dim_head=8, wavenet_layers=2,
+                  wavenet_stacks=2, use_flash_attn=False)
+    return NaturalSpeech2(model=model, codec=codec, timesteps=4)
+
+
+def batch_iter(batch, length):
+    rng = np.random.RandomState(0)
+    while True:
+        yield rng.uniform(-1, 1, size=(batch, length)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def trainer(tmp_path_factory):
+    ns2 = tiny_ns2()
+    t = Trainer(
+        ns2,
+        batches=batch_iter(8 * 2, 640),
+        train_batch_size=8,
+        grad_accum_every=2,
+        ema_update_every=2,
+        train_num_steps=3,
+        save_and_sample_every=100,
+        results_folder=str(tmp_path_factory.mktemp("results")),
+        sample_length=2,
+        mesh=make_mesh(n_data=8),
+    )
+    return t
+
+
+def test_train_steps_reduce_loss_and_update(trainer):
+    batch = next(trainer.batches)
+    state = trainer.init_state(batch)
+    step_fn = trainer.build_train_step()
+    p0 = jax.tree_util.tree_leaves(state.params['model'])[0].copy()
+
+    b = np.reshape(batch, (2, 8, -1))
+    key = jax.random.PRNGKey(0)
+    state, metrics = step_fn(state, jnp.asarray(b), key)
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    trainer.state = state
+    p1 = jax.tree_util.tree_leaves(state.params['model'])[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_ema_updates_on_schedule(trainer):
+    # step 1 (odd): ema untouched; step 2: ema moves (update_every=2)
+    state = trainer.state
+    ema0 = jax.tree_util.tree_leaves(state.ema_params['model'])[0].copy()
+    batch = jnp.asarray(np.reshape(next(trainer.batches), (2, 8, -1)))
+    state, _ = trainer._jit_train_step(state, batch, jax.random.PRNGKey(1))
+    assert int(state.step) == 2
+    ema1 = jax.tree_util.tree_leaves(state.ema_params['model'])[0]
+    assert not np.array_equal(np.asarray(ema0), np.asarray(ema1))
+    trainer.state = state
+
+
+def test_checkpoint_roundtrip(trainer):
+    path = trainer.save("test")
+    state_before = trainer.state
+    # perturb then restore
+    trainer.state = trainer.state.replace(
+        params=jax.tree_util.tree_map(lambda p: p * 0, trainer.state.params)
+    )
+    trainer.load(path)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_before.params),
+        jax.tree_util.tree_leaves(trainer.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert int(trainer.state.step) == int(state_before.step)
+
+
+def test_full_train_loop(tmp_path):
+    ns2 = tiny_ns2()
+    t = Trainer(
+        ns2,
+        batches=batch_iter(4, 640),
+        train_batch_size=4,
+        grad_accum_every=1,
+        train_num_steps=2,
+        save_and_sample_every=100,
+        results_folder=str(tmp_path),
+        sample_length=2,
+        mesh=make_mesh(n_data=4, devices=jax.devices()[:4]),
+    )
+    t.train(log_every=1)
+    assert int(t.state.step) == 2
+
+
+def test_write_wav(tmp_path):
+    path = tmp_path / "x.wav"
+    write_wav(path, np.sin(np.linspace(0, 100, 2400)), 24000)
+    from naturalspeech2_tpu.data import load_audio
+
+    audio, sr = load_audio(str(path))
+    assert sr == 24000
+    assert abs(len(audio) - 2400) <= 1
+
+
+def test_sound_dataset(tmp_path):
+    from naturalspeech2_tpu.data import SoundDataset, data_loader
+
+    for i in range(3):
+        write_wav(tmp_path / f"a{i}.wav", np.random.uniform(-1, 1, 5000), 24000)
+    ds = SoundDataset(str(tmp_path), max_length=3200, seq_len_multiple_of=320)
+    assert len(ds) == 3
+    x = ds[0]
+    assert x.shape == (3200,)
+    batch = next(data_loader(ds, batch_size=2))
+    assert batch.shape == (2, 3200)
