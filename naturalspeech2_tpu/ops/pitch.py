@@ -1,0 +1,106 @@
+"""On-device F0 (pitch) estimation + coarse quantization.
+
+TPU-native replacement for the reference's pyworld DIO+StoneMask CPU
+excursion (`/root/reference/naturalspeech2_pytorch/naturalspeech2_pytorch.py:
+132-175`): a batched, jittable normalized-autocorrelation estimator so the
+raw-audio→pitch path stays on TPU (the one mandatory device→CPU→device
+round-trip of the reference training step, SURVEY.md §3.2).
+
+Method (ACF/YIN-family, numerically *useful* rather than bit-equal to DIO):
+frame at the mel hop → FFT autocorrelation → normalized by frame energy →
+peak over the candidate lag range [sr/f0_ceil, sr/f0_floor] → parabolic
+interpolation (StoneMask-style refinement) → voicing threshold; unvoiced
+frames emit 0, like pyworld.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def compute_pitch(
+    audio: jax.Array,
+    *,
+    sample_rate: int,
+    hop_length: int,
+    f0_floor: float = 50.0,
+    f0_ceil: float = 640.0,
+    frame_length: Optional[int] = None,
+    voicing_threshold: float = 0.3,
+) -> jax.Array:
+    """audio ``[b, T]`` → f0 ``[b, frames]`` in Hz (0 = unvoiced).
+
+    frames = T // hop + 1 (centered), matching the mel frontend so pitch and
+    mel line up per frame like the reference pipeline (:1547-1566).
+    """
+    b, t = audio.shape
+    max_lag = int(np.ceil(sample_rate / f0_floor))
+    min_lag = max(2, int(np.floor(sample_rate / f0_ceil)))
+    if frame_length is None:
+        frame_length = 1 << int(np.ceil(np.log2(2 * max_lag)))
+
+    pad = frame_length // 2
+    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+
+    n_frames = t // hop_length + 1
+    idx = (
+        jnp.arange(n_frames)[:, None] * hop_length
+        + jnp.arange(frame_length)[None, :]
+    )
+    frames = x[:, idx]  # [b, frames, frame_length]
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+
+    # FFT autocorrelation (zero-padded to 2× to make it linear, not circular)
+    n_fft = 2 * frame_length
+    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    acf = jnp.fft.irfft(spec * jnp.conj(spec), n=n_fft, axis=-1)[
+        ..., : max_lag + 2
+    ]  # [b, frames, lags]
+
+    energy = jnp.maximum(acf[..., :1], 1e-8)
+    nac = acf / energy  # normalized autocorrelation, nac[..., 0] = 1
+
+    lags = jnp.arange(max_lag + 2)
+    valid = (lags >= min_lag) & (lags <= max_lag)
+    scores = jnp.where(valid[None, None, :], nac, -jnp.inf)
+    best = jnp.argmax(scores, axis=-1)  # [b, frames]
+    peak = jnp.take_along_axis(nac, best[..., None], -1)[..., 0]
+
+    # parabolic interpolation around the peak for sub-sample lag
+    lm1 = jnp.take_along_axis(nac, jnp.maximum(best - 1, 0)[..., None], -1)[..., 0]
+    lp1 = jnp.take_along_axis(
+        nac, jnp.minimum(best + 1, max_lag + 1)[..., None], -1
+    )[..., 0]
+    denom = lm1 - 2 * peak + lp1
+    delta = jnp.where(
+        jnp.abs(denom) > 1e-8, 0.5 * (lm1 - lp1) / denom, 0.0
+    )
+    delta = jnp.clip(delta, -0.5, 0.5)
+    refined_lag = best.astype(jnp.float32) + delta
+
+    f0 = sample_rate / jnp.maximum(refined_lag, 1.0)
+    voiced = (peak > voicing_threshold) & (f0 >= f0_floor) & (f0 <= f0_ceil)
+    return jnp.where(voiced, f0, 0.0)
+
+
+def f0_to_coarse(
+    f0: jax.Array,
+    f0_bin: int = 256,
+    f0_max: float = 1100.0,
+    f0_min: float = 50.0,
+) -> jax.Array:
+    """Mel-scale quantization of F0 into ``[1, f0_bin-1]`` integer bins
+    (reference `f0_to_coarse`, :164-175; 0 Hz → bin 1)."""
+    f0_mel_max = 1127.0 * np.log(1 + f0_max / 700.0)
+    f0_mel_min = 1127.0 * np.log(1 + f0_min / 700.0)
+
+    f0_mel = 1127.0 * jnp.log(1 + f0 / 700.0)
+    scaled = (f0_mel - f0_mel_min) * (f0_bin - 2) / (f0_mel_max - f0_mel_min) + 1
+    f0_mel = jnp.where(f0_mel > 0, scaled, f0_mel)
+    f0_mel = jnp.clip(f0_mel, 1.0, float(f0_bin - 1))
+    return (f0_mel + 0.5).astype(jnp.int32)
