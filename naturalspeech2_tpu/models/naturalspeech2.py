@@ -72,6 +72,11 @@ class NaturalSpeech2(nn.Module):
     pitch_loss_weight: float = 1.0
     aligner_loss_weight: float = 1.0
     aligner_bin_loss_weight: float = 0.0
+    # size overrides for the conditional submodules (test-scale / ablations);
+    # defaults reproduce the reference's hardcoded 512-dim stacks
+    phoneme_enc_kwargs: Optional[dict] = None
+    prompt_enc_kwargs: Optional[dict] = None
+    duration_pitch_kwargs: Optional[dict] = None
 
     @property
     def conditional(self) -> bool:
@@ -113,9 +118,20 @@ class NaturalSpeech2(nn.Module):
                 SpeechPromptEncoder,
             )
 
-            self.phoneme_enc = PhonemeEncoder(num_tokens=self.num_phoneme_tokens)
-            self.prompt_enc = SpeechPromptEncoder(dim_codebook=self.dim_codebook)
-            self.duration_pitch = DurationPitchPredictor(dim=self.duration_pitch_dim)
+            dim_codebook = (
+                self.codec.codebook_dim if self.codec is not None
+                else self.dim_codebook
+            )
+            self.phoneme_enc = PhonemeEncoder(
+                num_tokens=self.num_phoneme_tokens,
+                **(self.phoneme_enc_kwargs or {}),
+            )
+            self.prompt_enc = SpeechPromptEncoder(
+                dim_codebook=dim_codebook, **(self.prompt_enc_kwargs or {})
+            )
+            self.duration_pitch = DurationPitchPredictor(
+                dim=self.duration_pitch_dim, **(self.duration_pitch_kwargs or {})
+            )
             self.aligner = Aligner(
                 dim_in=self.aligner_dim_in,
                 dim_hidden=self.aligner_dim_hidden,

@@ -1,0 +1,119 @@
+"""Conditional (full TTS) path tests — README config 2 semantics at toy
+scale: audio + prompt + text → loss with aux components; conditional
+sampling with CFG."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from naturalspeech2_tpu.models.codec import SoundStream
+from naturalspeech2_tpu.models.denoiser import Model
+from naturalspeech2_tpu.models.naturalspeech2 import NaturalSpeech2, sample
+
+KEY = jax.random.PRNGKey(0)
+DIM = 16
+
+
+def cond_ns2():
+    codec = SoundStream(
+        codebook_dim=DIM, channels=4, num_quantizers=2, codebook_size=16,
+        use_pallas_rvq=False,
+    )
+    model = Model(
+        dim=DIM, depth=1, heads=2, dim_head=8, wavenet_layers=2,
+        wavenet_stacks=2, use_flash_attn=False,
+        condition_on_prompt=True, dim_prompt=24, num_latents_m=4,
+        resampler_depth=1, cond_drop_prob=0.25,
+    )
+    return NaturalSpeech2(
+        model=model, codec=codec, timesteps=4,
+        num_phoneme_tokens=20,
+        duration_pitch_dim=24,
+        aligner_dim_in=8, aligner_dim_hidden=24, aligner_attn_channels=8,
+        pitch_emb_pp_hidden_dim=24,
+        mel_hop_length=160,
+        phoneme_enc_kwargs=dict(dim=24, dim_hidden=24, depth=1, heads=2, dim_head=8),
+        prompt_enc_kwargs=dict(dims=(24, 24), depth=1, heads=2, dim_head=8,
+                               use_flash_attn=False),
+        duration_pitch_kwargs=dict(dim_hidden=24, depth=1, heads=2, dim_head=8,
+                                   dim_encoded_prompts=24),
+    )
+
+
+@pytest.fixture(scope="module")
+def cond_setup():
+    # NOTE: SpeechPromptEncoder/PhonemeEncoder defaults are big; shrink via
+    # a custom NaturalSpeech2 subclass is overkill — instead we monkey-build
+    # with small dims through the config fields above where exposed.
+    ns2 = cond_ns2()
+    b = 2
+    audio = jax.random.uniform(KEY, (b, 4 * 320), minval=-1, maxval=1)
+    prompt = jax.random.uniform(jax.random.PRNGKey(1), (b, 2 * 320), minval=-1, maxval=1)
+    text = jax.random.randint(jax.random.PRNGKey(2), (b, 5), 0, 20)
+    text_lens = jnp.array([5, 4])
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(
+        ("params", "times", "noise", "cfg", "dropout"))}
+    variables = ns2.init(rngs, audio, text=text, text_lens=text_lens, prompt=prompt)
+    codec_full = ns2.codec.init(KEY, audio)
+    params = dict(variables["params"])
+    params["codec"] = codec_full["params"]
+    return ns2, {"params": params}, audio, prompt, text, text_lens
+
+
+def test_conditional_loss_components(cond_setup):
+    ns2, variables, audio, prompt, text, text_lens = cond_setup
+    losses = ns2.apply(
+        variables, audio, text=text, text_lens=text_lens, prompt=prompt,
+        rngs={k: jax.random.PRNGKey(i) for i, k in enumerate(
+            ("times", "noise", "cfg", "dropout"))},
+    )
+    for k in ("loss", "diffusion", "duration", "pitch", "align"):
+        assert k in losses, k
+        assert np.isfinite(float(losses[k])), k
+    # aux losses ARE included in the total (reference defect fixed)
+    expected = float(
+        losses["diffusion"] + losses["duration"] + losses["pitch"] + losses["align"]
+    )
+    np.testing.assert_allclose(float(losses["loss"]), expected, rtol=1e-5)
+
+
+def test_conditional_grads(cond_setup):
+    ns2, variables, audio, prompt, text, text_lens = cond_setup
+
+    def loss_fn(params):
+        out = ns2.apply(
+            {"params": params}, audio, text=text, text_lens=text_lens,
+            prompt=prompt,
+            rngs={k: jax.random.PRNGKey(i) for i, k in enumerate(
+                ("times", "noise", "cfg", "dropout"))},
+        )
+        return out["loss"]
+
+    g = jax.grad(loss_fn)(variables["params"])
+    for name in ("model", "phoneme_enc", "prompt_enc", "duration_pitch", "aligner"):
+        leaves = jax.tree_util.tree_leaves(g[name])
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves), name
+        total = sum(float(jnp.abs(l).sum()) for l in leaves)
+        assert total > 0, f"no gradient signal reaching {name}"
+
+
+def test_conditional_sample(cond_setup):
+    ns2, variables, audio, prompt, text, text_lens = cond_setup
+    out = sample(
+        ns2, variables, jax.random.PRNGKey(3),
+        length=8, prompt=prompt, text=text, text_lens=text_lens,
+        cond_scale=2.0,
+    )
+    assert out.shape == (2, 8 * 320)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conditional_sample_jits(cond_setup):
+    ns2, variables, audio, prompt, text, text_lens = cond_setup
+    f = jax.jit(lambda v, k: sample(
+        ns2, v, k, length=8, prompt=prompt, text=text, text_lens=text_lens,
+        cond_scale=1.5,
+    ))
+    out = f(variables, jax.random.PRNGKey(4))
+    assert out.shape == (2, 2560)
