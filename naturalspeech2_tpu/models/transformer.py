@@ -75,7 +75,7 @@ class Attention(nn.Module):
             scale=self.dim_head**-0.5,
             dropout=self.dropout if not deterministic else 0.0,
             dropout_key=dropout_key,
-            backend="flash" if self.use_flash else "auto",
+            backend="flash" if self.use_flash else "xla",
         )
 
         b, _, n, _ = out.shape
