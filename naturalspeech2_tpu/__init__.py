@@ -5,6 +5,37 @@ lucidrains/naturalspeech2-pytorch (reference mounted at /root/reference),
 re-designed TPU-first: functional flax modules, static shapes + masks,
 lax.scan samplers, Pallas kernels for the hot ops (flash attention, RVQ),
 and a mesh-sharded pjit trainer.
+
+Public surface mirrors the reference `__init__.py:21-24`.
 """
 
 from naturalspeech2_tpu.version import __version__
+
+from naturalspeech2_tpu.models.naturalspeech2 import (
+    NaturalSpeech2,
+    ddim_sample,
+    ddpm_sample,
+    sample,
+)
+from naturalspeech2_tpu.models.denoiser import Model, forward_with_cond_scale
+from naturalspeech2_tpu.models.transformer import (
+    Attention,
+    ConditionableTransformer,
+    Transformer,
+)
+from naturalspeech2_tpu.models.wavenet import Wavenet
+from naturalspeech2_tpu.models.encoders import (
+    DurationPitchPredictor,
+    PerceiverResampler,
+    PhonemeEncoder,
+    SpeechPromptEncoder,
+)
+from naturalspeech2_tpu.models.aligner import Aligner, BinLoss, ForwardSumLoss
+from naturalspeech2_tpu.models.codec import SoundStream
+from naturalspeech2_tpu.trainer import Trainer
+from naturalspeech2_tpu.utils.tokenizer import Tokenizer
+from naturalspeech2_tpu.utils.phonemizers.espeak_wrapper import ESpeak
+
+# EncodecWrapper parity: the reference re-exports an external pretrained
+# Encodec; here the JAX SoundStream implements the same call contract.
+EncodecWrapper = SoundStream

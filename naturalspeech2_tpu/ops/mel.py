@@ -103,3 +103,39 @@ def audio_to_mel(
         # torchaudio AmplitudeToDB (power): 10·log10(clamp(x, 1e-10))
         mel = 10.0 * jnp.log10(jnp.clip(mel, min=1e-10))
     return mel
+
+
+class AudioToMel:
+    """Callable-config wrapper matching the reference `AudioToMel` module API
+    (ctor kwargs :183-191, ``__call__(audio) → [b, n_mels, frames]``)."""
+
+    def __init__(
+        self,
+        *,
+        n_mels: int = 100,
+        sampling_rate: int = 24000,
+        f_max: float = 8000.0,
+        n_fft: int = 1024,
+        win_length: int = 640,
+        hop_length: int = 160,
+        log: bool = True,
+    ):
+        self.n_mels = n_mels
+        self.sampling_rate = sampling_rate
+        self.f_max = f_max
+        self.n_fft = n_fft
+        self.win_length = win_length
+        self.hop_length = hop_length
+        self.log = log
+
+    def __call__(self, audio: jax.Array) -> jax.Array:
+        return audio_to_mel(
+            audio,
+            n_mels=self.n_mels,
+            sample_rate=self.sampling_rate,
+            f_max=self.f_max,
+            n_fft=self.n_fft,
+            win_length=self.win_length,
+            hop_length=self.hop_length,
+            log=self.log,
+        )

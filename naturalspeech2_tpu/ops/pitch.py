@@ -88,6 +88,37 @@ def compute_pitch(
     return jnp.where(voiced, f0, 0.0)
 
 
+def compute_pitch_pyworld(
+    wav,
+    sample_rate: int,
+    hop_length: int,
+    pitch_fmax: float = 640.0,
+):
+    """Host-callback parity path: pyworld DIO+StoneMask when the package is
+    installed (reference `compute_pitch_pyworld`, :132-160), else the
+    on-device estimator. Returns ``[b, frames]`` numpy/jax array."""
+    try:
+        import numpy as _np
+        import pyworld as pw  # not installed in the TPU image; optional
+
+        wav_np = _np.asarray(wav, dtype=_np.double)
+        outs = []
+        for sample in wav_np:
+            f0, t = pw.dio(
+                sample,
+                fs=sample_rate,
+                f0_ceil=pitch_fmax,
+                frame_period=1000 * hop_length / sample_rate,
+            )
+            outs.append(pw.stonemask(sample, f0, t, sample_rate))
+        return _np.stack(outs)
+    except ImportError:
+        return compute_pitch(
+            jnp.asarray(wav), sample_rate=sample_rate, hop_length=hop_length,
+            f0_ceil=pitch_fmax,
+        )
+
+
 def f0_to_coarse(
     f0: jax.Array,
     f0_bin: int = 256,
