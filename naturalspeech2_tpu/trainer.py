@@ -156,12 +156,15 @@ class Trainer:
                 variables["params"], flax.core.FrozenDict
             ) else merged
         opt_state = self.optimizer.init(params)
-        self.state = TrainState(
+        state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=opt_state,
             ema_params=jax.tree_util.tree_map(jnp.copy, params),
         )
+        from naturalspeech2_tpu.parallel.tp import shard_state
+
+        self.state = shard_state(self.mesh, state)
         return self.state
 
     def _loss_fn(self, params, batch, rngs):
@@ -234,15 +237,12 @@ class Trainer:
         return new_state, mean_metrics
 
     def build_train_step(self):
-        """Jit the train step with data-sharded batch over the mesh."""
-        rep = replicated(self.mesh)
-        bsh = NamedSharding(self.mesh, P(None, DATA_AXIS))  # [accum, micro, ...]
-        self._jit_train_step = jax.jit(
-            self._train_step,
-            in_shardings=(rep, bsh, rep),
-            out_shardings=(rep, rep),
-            donate_argnums=(0,),
-        )
+        """Jit the train step. Shardings ride on the arguments: the state is
+        device_put with its layout (replicated, or TP-sharded over the
+        ``model`` axis via `parallel.tp.shard_state`) and the batch with
+        ``P(None, 'data')``; GSPMD propagates the rest and inserts the
+        gradient all-reduce."""
+        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
         return self._jit_train_step
 
     # ------------------------------------------------------------------ #
