@@ -502,9 +502,15 @@ def sample(
     text_lens: Optional[jax.Array] = None,
     batch_size: int = 1,
     cond_scale: float = 1.0,
+    timesteps: Optional[int] = None,
 ) -> jax.Array:
     """End-to-end sampling: [conditioning →] diffusion → codec decode
-    (ref sample :1457-1501). Jittable with static ``length``/``batch_size``."""
+    (ref sample :1457-1501). Jittable with static ``length``/``batch_size``.
+
+    ``timesteps`` overrides the configured step count — DDIM is consistent
+    under step-count reduction, so this is the few-step fast-sampling path
+    (e.g. 100-step CFG sampling per the BASELINE north star, or fewer for
+    progressive-distillation-style schedules)."""
     model_vars = {"params": variables["params"]["model"]}
     prompt_enc = cond = None
 
@@ -527,7 +533,7 @@ def sample(
         denoise_fn,
         key,
         (batch_size, length, ns2.dim),
-        timesteps=ns2.timesteps,
+        timesteps=timesteps if timesteps is not None else ns2.timesteps,
         gamma_schedule=ns2.gamma_schedule,
         objective=ns2.objective,
         scale=ns2.scale,

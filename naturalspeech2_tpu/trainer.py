@@ -81,6 +81,7 @@ class Trainer:
         save_and_sample_every: int = 1000,
         results_folder: str = "./results",
         amp: bool = False,
+        remat: bool = False,
         data_max_length: Optional[int] = None,
         data_max_length_seconds: Optional[float] = 2.0,
         sample_length: int = 1024,
@@ -98,6 +99,7 @@ class Trainer:
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
         self.amp = amp
+        self.remat = remat
         self.sample_length = sample_length
         self.seed = seed
 
@@ -176,7 +178,15 @@ class Trainer:
                 params,
             )
             batch = batch.astype(jnp.bfloat16)
-        losses = self.ns2.apply({"params": params}, batch, rngs=rngs)
+
+        def apply(params, batch):
+            return self.ns2.apply({"params": params}, batch, rngs=rngs)
+
+        if self.remat:
+            # trade FLOPs for HBM: recompute the forward in the backward pass
+            apply = jax.checkpoint(apply)
+
+        losses = apply(params, batch)
         return losses["loss"].astype(jnp.float32), {
             k: v.astype(jnp.float32) for k, v in losses.items()
         }
