@@ -295,8 +295,13 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
 
-    def train(self, log_every: int = 50):
-        step_shape = None
+    def train(self, log_every: int = 50, profile_steps: Optional[Tuple[int, int]] = None):
+        """Training loop. ``profile_steps=(start, stop)`` captures a
+        `jax.profiler` trace of those steps into results_folder/profile
+        (the reference has no tracing at all, SURVEY.md §5.1)."""
+        import json
+        import time as _time
+
         batch = next(self.batches)
         if self.state is None:
             self.init_state(batch)
@@ -305,20 +310,37 @@ class Trainer:
 
         key = jax.random.PRNGKey(self.seed + 1)
         bsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        metrics_path = self.results_folder / "metrics.jsonl"
 
         while int(self.state.step) < self.train_num_steps:
+            step = int(self.state.step)
+            if profile_steps and step == profile_steps[0]:
+                jax.profiler.start_trace(str(self.results_folder / "profile"))
+
             batch = np.reshape(
                 batch, (self.grad_accum_every, self.train_batch_size, -1)
             )
             batch = jax.device_put(batch, bsh)
             key, step_key = jax.random.split(key)
+            t0 = _time.perf_counter()
             self.state, metrics = self._jit_train_step(
                 self.state, batch, step_key
             )
-            step = int(self.state.step)
+            step = int(self.state.step)  # syncs the step
+            step_time = _time.perf_counter() - t0
+
+            if profile_steps and step == profile_steps[1]:
+                jax.profiler.stop_trace()
 
             if step % log_every == 0 and is_main_process():
-                print(f"step {step}: loss {float(metrics['loss']):.4f}")
+                loss = float(metrics["loss"])
+                print(f"step {step}: loss {loss:.4f} ({step_time*1e3:.0f} ms)")
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps({
+                        "step": step,
+                        "step_time_s": round(step_time, 4),
+                        **{k: float(v) for k, v in metrics.items()},
+                    }) + "\n")
 
             if step % self.save_and_sample_every == 0:
                 self.sample_and_save(step // self.save_and_sample_every)
