@@ -145,13 +145,21 @@ class Trainer:
             name: key
             for name in ("params", "times", "noise", "cfg", "dropout")
         }
-        micro = example_batch[: self.train_batch_size]
-        variables = self.ns2.init(rngs, jnp.asarray(micro))
+        micro = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x[: self.train_batch_size]), example_batch
+        )
+        if isinstance(micro, dict):
+            audio0 = micro["audio"]
+            extra0 = {k: v for k, v in micro.items() if k != "audio"}
+            variables = self.ns2.init(rngs, audio0, **extra0)
+        else:
+            audio0 = micro
+            variables = self.ns2.init(rngs, micro)
         params = variables["params"]
         # decoder params are only traced by sampling; make sure the codec has
         # its full parameter set so checkpoints are complete
         if self.ns2.codec is not None:
-            codec_full = self.ns2.codec.init(key, jnp.asarray(micro))
+            codec_full = self.ns2.codec.init(key, audio0)
             merged = dict(params)
             merged["codec"] = codec_full["params"]
             params = flax.core.freeze(merged) if isinstance(
@@ -170,6 +178,16 @@ class Trainer:
         return self.state
 
     def _loss_fn(self, params, batch, rngs):
+        """batch: audio array, or a dict with 'audio' plus conditional
+        kwargs ('text', 'text_lens', 'prompt', 'pitch', ...) — the
+        conditional-training path the reference Trainer lacks (its
+        SoundDataset only yields audio)."""
+        if isinstance(batch, dict):
+            audio = batch["audio"]
+            extra = {k: v for k, v in batch.items() if k != "audio"}
+        else:
+            audio, extra = batch, {}
+
         if self.amp:
             params = jax.tree_util.tree_map(
                 lambda p: p.astype(jnp.bfloat16)
@@ -177,16 +195,20 @@ class Trainer:
                 else p,
                 params,
             )
-            batch = batch.astype(jnp.bfloat16)
+            cast = lambda x: (
+                x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x
+            )
+            audio = cast(audio)
+            extra = {k: cast(v) for k, v in extra.items()}
 
-        def apply(params, batch):
-            return self.ns2.apply({"params": params}, batch, rngs=rngs)
+        def apply(params, audio, extra):
+            return self.ns2.apply({"params": params}, audio, rngs=rngs, **extra)
 
         if self.remat:
             # trade FLOPs for HBM: recompute the forward in the backward pass
             apply = jax.checkpoint(apply)
 
-        losses = apply(params, batch)
+        losses = apply(params, audio, extra)
         return losses["loss"].astype(jnp.float32), {
             k: v.astype(jnp.float32) for k, v in losses.items()
         }
@@ -317,8 +339,12 @@ class Trainer:
             if profile_steps and step == profile_steps[0]:
                 jax.profiler.start_trace(str(self.results_folder / "profile"))
 
-            batch = np.reshape(
-                batch, (self.grad_accum_every, self.train_batch_size, -1)
+            batch = jax.tree_util.tree_map(
+                lambda x: np.reshape(
+                    np.asarray(x),
+                    (self.grad_accum_every, self.train_batch_size) + x.shape[1:],
+                ),
+                batch,
             )
             batch = jax.device_put(batch, bsh)
             key, step_key = jax.random.split(key)
