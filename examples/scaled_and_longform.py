@@ -1,0 +1,73 @@
+"""BASELINE configs 4-5 smoke on TPU:
+
+- scaled denoiser dim=512/depth=12, batch 16, fast 100-step CFG-style
+  sampling (batched cond/uncond is exercised in the conditional path;
+  here unconditional at scale)
+- long-form 60-second generation: 4500 latent frames (flash attention's
+  O(n) memory path)
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+from naturalspeech2_tpu.models.denoiser import Model
+from naturalspeech2_tpu.ops.schedules import gamma_to_alpha_sigma, sigmoid_schedule
+from naturalspeech2_tpu.utils.helpers import safe_div
+
+
+def ddim_chain(model, params, shape, n_steps):
+    def run(x0):
+        times = jnp.linspace(1.0, 0.0, n_steps + 1)
+        pairs = jnp.stack([times[:-1], times[1:]], -1)
+
+        def body(audio, pair):
+            t, t_next = pair[0], pair[1]
+            gamma, gamma_next = sigmoid_schedule(t), sigmoid_schedule(t_next)
+            alpha, sigma = gamma_to_alpha_sigma(gamma)
+            alpha_next, sigma_next = gamma_to_alpha_sigma(gamma_next)
+            out = model.apply(params, audio, jnp.broadcast_to(t, (shape[0],)))
+            x_start = alpha * audio - sigma * out
+            pred_noise = safe_div(audio - alpha * x_start, sigma)
+            return x_start * alpha_next + pred_noise * sigma_next, ()
+
+        audio, _ = jax.lax.scan(body, x0, pairs)
+        return audio.sum()
+
+    return jax.jit(run)
+
+
+def bench_config(name, dim, depth, batch, length, n_steps):
+    model = Model(dim=dim, depth=depth, heads=8, dim_head=64, use_flash_attn=True)
+    x = jnp.zeros((batch, length, dim), jnp.float32)
+    t0 = time.perf_counter()
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((batch,)))
+    x0 = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    f = ddim_chain(model, params, x.shape, n_steps)
+    float(f(x0))
+    compile_s = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(3):
+        t1 = time.perf_counter()
+        float(f(x0))
+        best = min(best, time.perf_counter() - t1)
+    step_ms = best / n_steps * 1e3
+    audio_sec = batch * length * 320 / 24000
+    rtf = audio_sec / best
+    print(
+        f"{name}: {step_ms:.2f} ms/step, {n_steps/best:.1f} steps/s, "
+        f"RTF {rtf:.1f}x ({n_steps}-step sampling, compile {compile_s:.0f}s)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    # config 4: scaled denoiser, fast 100-step sampling
+    bench_config("scaled dim512/depth12 b16 n1024", 512, 12, 16, 1024, 100)
+    # config 5: long-form 60 s (4500 latent frames)
+    bench_config("long-form 60s b1 n4500", 128, 6, 1, 4500, 100)

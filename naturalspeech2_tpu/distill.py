@@ -1,0 +1,170 @@
+"""Progressive distillation for fast few-step sampling.
+
+The reference cites progressive distillation (Salimans & Ho 2022,
+arXiv 2202.00512) as future work and never implements it
+(`/root/reference/README.md:189-197`); this module implements it
+TPU-natively: a student denoiser is trained so ONE of its DDIM steps matches
+TWO teacher DDIM steps, and step counts halve per round (N → N/2 → … → 1-4
+steps). Everything (two teacher evals + target derivation + student grad)
+is one jitted program.
+
+Works directly on the `NaturalSpeech2` denoiser with the v-objective
+(the reference default): the target v is derived from the x₀ that makes a
+single student step land exactly where the teacher's two half-steps do.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from naturalspeech2_tpu.models.denoiser import Model
+from naturalspeech2_tpu.ops.schedules import gamma_to_alpha_sigma
+from naturalspeech2_tpu.utils.helpers import safe_div
+
+
+def _alpha_sigma(gamma_schedule, t, scale):
+    return gamma_to_alpha_sigma(gamma_schedule(t), scale)
+
+
+def _x0_from_v(audio, v, alpha, sigma):
+    return alpha * audio - sigma * v
+
+
+def _v_from_x0(audio, x0, alpha, sigma):
+    noise = safe_div(audio - alpha * x0, sigma)
+    return alpha * noise - sigma * x0
+
+
+def _ddim_step(audio, x0, alpha, sigma, alpha_next, sigma_next):
+    pred_noise = safe_div(audio - alpha * x0, sigma)
+    return x0 * alpha_next + pred_noise * sigma_next
+
+
+def distillation_loss(
+    model: Model,
+    student_params,
+    teacher_params,
+    x_data: jax.Array,
+    key: jax.Array,
+    *,
+    num_student_steps: int,
+    gamma_schedule: Callable,
+    scale: float = 1.0,
+) -> jax.Array:
+    """One-step-student vs two-step-teacher consistency loss (v-objective).
+
+    x_data: clean codec latents ``[b, n, d]``.
+    """
+    b = x_data.shape[0]
+    k_t, k_noise = jax.random.split(key)
+
+    # student times on the discrete grid {1/N, 2/N, ..., 1}
+    i = jax.random.randint(k_t, (b,), 1, num_student_steps + 1)
+    t = i.astype(jnp.float32) / num_student_steps
+    t_mid = t - 0.5 / num_student_steps
+    t_next = t - 1.0 / num_student_steps
+
+    def pad(v):
+        return v[:, None, None]
+
+    alpha_t, sigma_t = map(pad, _alpha_sigma(gamma_schedule, t, scale))
+    alpha_m, sigma_m = map(pad, _alpha_sigma(gamma_schedule, t_mid, scale))
+    alpha_n, sigma_n = map(pad, _alpha_sigma(gamma_schedule, t_next, scale))
+
+    noise = jax.random.normal(k_noise, x_data.shape, x_data.dtype)
+    x_t = alpha_t * x_data + sigma_t * noise
+
+    # two teacher DDIM half-steps (no grad through the teacher)
+    def teacher_v(x, times):
+        return model.apply(teacher_params, x, times)
+
+    v1 = jax.lax.stop_gradient(teacher_v(x_t, t))
+    x0_1 = _x0_from_v(x_t, v1, alpha_t, sigma_t)
+    x_mid = _ddim_step(x_t, x0_1, alpha_t, sigma_t, alpha_m, sigma_m)
+
+    v2 = jax.lax.stop_gradient(teacher_v(x_mid, t_mid))
+    x0_2 = _x0_from_v(x_mid, v2, alpha_m, sigma_m)
+    x_next = _ddim_step(x_mid, x0_2, alpha_m, sigma_m, alpha_n, sigma_n)
+
+    # x̃0 such that ONE student step from (x_t, t) lands at x_next:
+    #   x_next = α_n·x̃0 + (σ_n/σ_t)·(x_t − α_t·x̃0)
+    denom = alpha_n - safe_div(sigma_n * alpha_t, sigma_t)
+    x0_target = safe_div(x_next - safe_div(sigma_n, sigma_t) * x_t, denom)
+    v_target = _v_from_x0(x_t, x0_target, alpha_t, sigma_t)
+    v_target = jax.lax.stop_gradient(v_target)
+
+    v_student = model.apply(student_params, x_t, t)
+
+    # truncated-SNR weighting w = max(α²/σ², 1)  (arXiv 2202.00512 §4)
+    w = jnp.maximum((alpha_t**2) / (sigma_t**2), 1.0)
+    return (w * (v_student - v_target) ** 2).mean()
+
+
+class ProgressiveDistiller:
+    """Halve the sampler step count round by round.
+
+    Usage:
+        d = ProgressiveDistiller(ns2, teacher_params)
+        student_params = d.distill_round(latents_iter, num_student_steps=500,
+                                         n_updates=...)
+        # then teacher ← student and halve again
+    """
+
+    def __init__(
+        self,
+        ns2,
+        teacher_model_params,
+        lr: float = 1e-4,
+        max_grad_norm: float = 1.0,
+    ):
+        self.ns2 = ns2
+        self.model = ns2.model
+        self.teacher_params = teacher_model_params
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
+        )
+
+    def distill_round(
+        self,
+        latent_batches,
+        *,
+        num_student_steps: int,
+        n_updates: int,
+        seed: int = 0,
+    ):
+        student_params = jax.tree_util.tree_map(
+            jnp.copy, self.teacher_params
+        )  # student initialised from teacher
+        opt_state = self.optimizer.init(student_params)
+
+        @jax.jit
+        def update(student_params, opt_state, x_data, key):
+            loss, grads = jax.value_and_grad(
+                lambda p: distillation_loss(
+                    self.model, p, self.teacher_params, x_data, key,
+                    num_student_steps=num_student_steps,
+                    gamma_schedule=self.ns2.gamma_schedule,
+                    scale=self.ns2.scale,
+                )
+            )(student_params)
+            updates, opt_state = self.optimizer.update(
+                grads, opt_state, student_params
+            )
+            return optax.apply_updates(student_params, updates), opt_state, loss
+
+        key = jax.random.PRNGKey(seed)
+        loss = None
+        for _ in range(n_updates):
+            key, k = jax.random.split(key)
+            x = jnp.asarray(next(latent_batches))
+            student_params, opt_state, loss = update(
+                student_params, opt_state, x, k
+            )
+        self.teacher_params = student_params  # ready for the next halving
+        self.last_loss = float(loss) if loss is not None else None
+        return student_params
