@@ -48,7 +48,10 @@ from naturalspeech2_tpu.utils.helpers import (
 class NaturalSpeech2(nn.Module):
     model: Model
     codec: Optional[SoundStream] = None
+    tokenizer: Optional[Any] = None  # host-side Tokenizer for List[str] text
     target_sample_hz: Optional[int] = None
+    calc_pitch_with_pyworld: bool = True  # API-parity knob (ref :1189); both
+    # paths resolve to ops.pitch (pyworld only if installed, else on-device)
     timesteps: int = 1000
     use_ddim: bool = True
     noise_schedule: str = "sigmoid"
@@ -513,6 +516,12 @@ def sample(
     progressive-distillation-style schedules)."""
     model_vars = {"params": variables["params"]["model"]}
     prompt_enc = cond = None
+
+    if isinstance(text, (list, tuple)) and text and isinstance(text[0], str):
+        # raw strings accepted like the reference's beartype-dispatched path
+        # (naturalspeech2_pytorch.py:277-279); tokenized host-side, outside jit
+        assert ns2.tokenizer is not None, "pass tokenizer= to NaturalSpeech2"
+        text = jnp.asarray(ns2.tokenizer.texts_to_tensor_ids(list(text)))
 
     if ns2.conditional:
         assert prompt is not None and text is not None
