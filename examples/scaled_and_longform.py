@@ -68,6 +68,6 @@ def bench_config(name, dim, depth, batch, length, n_steps):
 
 if __name__ == "__main__":
     # config 4: scaled denoiser, fast 100-step sampling
-    bench_config("scaled dim512/depth12 b16 n1024", 512, 12, 16, 1024, 100)
+    bench_config("scaled dim512/depth12 b16 n1024", 512, 12, 16, 1024, 10)
     # config 5: long-form 60 s (4500 latent frames)
-    bench_config("long-form 60s b1 n4500", 128, 6, 1, 4500, 100)
+    bench_config("long-form 60s b1 n4500", 128, 6, 1, 4500, 10)

@@ -63,6 +63,7 @@ def _rvq_kernel(x_ref, cb_ref, cbn_ref, q_out_ref, codes_ref, *, num_q: int,
     bm = r.shape[0]
     total_q = jnp.zeros_like(r)
     code_cols = []
+    lane_idx = jax.lax.broadcasted_iota(jnp.int32, (bm, codebook_size), 1)
 
     for qi in range(num_q):
         cb = cb_ref[qi]  # [K, d]
@@ -75,11 +76,14 @@ def _rvq_kernel(x_ref, cb_ref, cbn_ref, q_out_ref, codes_ref, *, num_q: int,
             )
             + cbn_ref[qi]  # [1, K] broadcast of ‖C‖² over rows
         )  # [bm, K]
-        idx = jnp.argmin(d2, axis=-1)  # [bm]
-        onehot = (
-            jax.lax.broadcasted_iota(jnp.int32, (bm, codebook_size), 1)
-            == idx[:, None]
-        ).astype(jnp.float32)
+        # nearest entry WITHOUT argmin (which lowers poorly on the VPU):
+        # min + first-match one-hot, index recovered by a masked lane-min.
+        dmin = jnp.min(d2, axis=-1, keepdims=True)  # [bm, 1]
+        at_min = d2 <= dmin  # [bm, K], ≥1 True per row
+        idx = jnp.min(
+            jnp.where(at_min, lane_idx, codebook_size), axis=-1
+        )  # first minimal lane  [bm]
+        onehot = (lane_idx == idx[:, None]).astype(jnp.float32)
         q = jax.lax.dot_general(
             onehot, cb, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
