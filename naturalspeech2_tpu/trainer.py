@@ -293,6 +293,13 @@ class Trainer:
         path.write_bytes(flax.serialization.msgpack_serialize(payload))
         return str(path)
 
+    def latest_checkpoint(self) -> Optional[str]:
+        ckpts = sorted(
+            self.results_folder.glob("model-*.ckpt"),
+            key=lambda p: p.stat().st_mtime,
+        )
+        return str(ckpts[-1]) if ckpts else None
+
     def load(self, path: str):
         assert self.state is not None, "call init_state first"
         payload = flax.serialization.msgpack_restore(Path(path).read_bytes())
@@ -327,6 +334,11 @@ class Trainer:
         batch = next(self.batches)
         if self.state is None:
             self.init_state(batch)
+            # elastic restart: resume from the newest checkpoint if present
+            latest = self.latest_checkpoint()
+            if latest is not None:
+                print(f"resuming from {latest}")
+                self.load(latest)
         if self._jit_train_step is None:
             self.build_train_step()
 
