@@ -21,25 +21,23 @@ from naturalspeech2_tpu.ops.schedules import gamma_to_alpha_sigma, sigmoid_sched
 from naturalspeech2_tpu.utils.helpers import safe_div
 
 
-def ddim_chain(model, params, shape, n_steps):
-    def run(x0):
-        times = jnp.linspace(1.0, 0.0, n_steps + 1)
-        pairs = jnp.stack([times[:-1], times[1:]], -1)
+def ddim_step_fn(model, params, batch):
+    """One DDIM step as a jitted fn. For the big configs the remote compile
+    service cannot handle the full lax.scan program (compile times explode),
+    so the example times repeated single-step calls — at 30+ ms/step the
+    tunnel dispatch overhead is negligible."""
 
-        def body(audio, pair):
-            t, t_next = pair[0], pair[1]
-            gamma, gamma_next = sigmoid_schedule(t), sigmoid_schedule(t_next)
-            alpha, sigma = gamma_to_alpha_sigma(gamma)
-            alpha_next, sigma_next = gamma_to_alpha_sigma(gamma_next)
-            out = model.apply(params, audio, jnp.broadcast_to(t, (shape[0],)))
-            x_start = alpha * audio - sigma * out
-            pred_noise = safe_div(audio - alpha * x_start, sigma)
-            return x_start * alpha_next + pred_noise * sigma_next, ()
+    @jax.jit
+    def step(audio, t, t_next):
+        gamma, gamma_next = sigmoid_schedule(t), sigmoid_schedule(t_next)
+        alpha, sigma = gamma_to_alpha_sigma(gamma)
+        alpha_next, sigma_next = gamma_to_alpha_sigma(gamma_next)
+        out = model.apply(params, audio, jnp.broadcast_to(t, (batch,)))
+        x_start = alpha * audio - sigma * out
+        pred_noise = safe_div(audio - alpha * x_start, sigma)
+        return x_start * alpha_next + pred_noise * sigma_next
 
-        audio, _ = jax.lax.scan(body, x0, pairs)
-        return audio.sum()
-
-    return jax.jit(run)
+    return step
 
 
 def bench_config(name, dim, depth, batch, length, n_steps):
@@ -47,20 +45,22 @@ def bench_config(name, dim, depth, batch, length, n_steps):
     x = jnp.zeros((batch, length, dim), jnp.float32)
     t0 = time.perf_counter()
     params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((batch,)))
-    x0 = jax.random.normal(jax.random.PRNGKey(1), x.shape)
-    f = ddim_chain(model, params, x.shape, n_steps)
-    float(f(x0))
+    audio = jax.random.normal(jax.random.PRNGKey(1), x.shape)
+    step = ddim_step_fn(model, params, batch)
+    float(step(audio, jnp.float32(1.0), jnp.float32(0.99)).sum())
     compile_s = time.perf_counter() - t0
-    best = float("inf")
-    for _ in range(3):
-        t1 = time.perf_counter()
-        float(f(x0))
-        best = min(best, time.perf_counter() - t1)
-    step_ms = best / n_steps * 1e3
+
+    t1 = time.perf_counter()
+    for i in range(n_steps):
+        t = 1.0 - i / n_steps
+        audio = step(audio, jnp.float32(t), jnp.float32(t - 1.0 / n_steps))
+    float(audio.sum())
+    wall = time.perf_counter() - t1
+    step_ms = wall / n_steps * 1e3
     audio_sec = batch * length * 320 / 24000
-    rtf = audio_sec / best
+    rtf = audio_sec / wall
     print(
-        f"{name}: {step_ms:.2f} ms/step, {n_steps/best:.1f} steps/s, "
+        f"{name}: {step_ms:.2f} ms/step, {n_steps/wall:.1f} steps/s, "
         f"RTF {rtf:.1f}x ({n_steps}-step sampling, compile {compile_s:.0f}s)",
         flush=True,
     )
@@ -68,6 +68,6 @@ def bench_config(name, dim, depth, batch, length, n_steps):
 
 if __name__ == "__main__":
     # config 4: scaled denoiser, fast 100-step sampling
-    bench_config("scaled dim512/depth12 b16 n1024", 512, 12, 16, 1024, 10)
+    bench_config("scaled dim512/depth12 b16 n1024", 512, 12, 16, 1024, 50)
     # config 5: long-form 60 s (4500 latent frames)
-    bench_config("long-form 60s b1 n4500", 128, 6, 1, 4500, 10)
+    bench_config("long-form 60s b1 n4500", 128, 6, 1, 4500, 50)
