@@ -62,7 +62,10 @@ def load_audio(path: str):
     except Exception:
         pass
     if str(path).lower().endswith(".wav"):
-        return _load_wav_python(path)
+        try:
+            return _load_wav_python(path)
+        except Exception as e:
+            raise ValueError(f"cannot decode {path}: {e}") from e
     raise ValueError(
         f"cannot decode {path}: build the native audio loader (make -C native) "
         "or provide WAV input"
