@@ -67,7 +67,11 @@ def bench_config(name, dim, depth, batch, length, n_steps):
 
 
 if __name__ == "__main__":
-    # config 4: scaled denoiser, fast 100-step sampling
-    bench_config("scaled dim512/depth12 b16 n1024", 512, 12, 16, 1024, 50)
     # config 5: long-form 60 s (4500 latent frames)
+    # measured on v5e: 34.8 ms/denoise-eval → ~17x realtime at 100 steps
     bench_config("long-form 60s b1 n4500", 128, 6, 1, 4500, 50)
+    # config 4: scaled denoiser dim512/depth12 b16. NOTE: on the axon dev
+    # tunnel this ~7-minute compile intermittently crashes the remote
+    # compile service / gets OOM-killed on the 1-core host; the bare forward
+    # has been verified to compile (432 s) and execute. Run last.
+    bench_config("scaled dim512/depth12 b16 n1024", 512, 12, 16, 1024, 50)

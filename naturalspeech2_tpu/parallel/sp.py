@@ -1,0 +1,86 @@
+"""Sequence (context) parallelism for long-form attention.
+
+The reference has no long-context strategy at all (SURVEY.md §5.7 — it
+relies on codec compression + fused SDPA); this module is the TPU-native
+extension for 60-second-plus generation:
+
+- `sp_attend`: gather-based context-parallel attention under `shard_map` —
+  queries stay sharded over the sequence axis of the mesh, keys/values are
+  `all_gather`ed over ICI, each shard attends locally, and the output
+  remains sequence-sharded. O(n/P) activation memory per chip. Works with
+  key-padding masks and causal attention (global row offsets derived from
+  the shard index).
+- whole-model sequence sharding (convs included) is handled by GSPMD: jit
+  the denoiser with its input constrained to ``P(None, 'data', None)`` and
+  XLA inserts conv halo exchanges automatically (see
+  tests/test_sequence_parallel.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from naturalspeech2_tpu.ops.attention import NEG_INF
+
+
+def sp_attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Context-parallel attention. q/k/v: global ``[b, h, n, d]`` logically,
+    sharded over ``axis`` on the sequence dim; mask: ``[b, n]``.
+    Returns ``[b, h, n, d]`` sharded the same way."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n = q.shape[2]
+    p = mesh.shape[axis]
+    assert n % p == 0, f"sequence {n} must divide over {axis}={p}"
+
+    qkv_spec = P(None, None, axis, None)
+    mask_spec = P(None, axis)
+
+    has_mask = mask is not None
+
+    def local(q_l, k_l, v_l, mask_l):
+        # gather keys/values (and mask) across the sequence shards
+        k_full = jax.lax.all_gather(k_l, axis, axis=2, tiled=True)
+        v_full = jax.lax.all_gather(v_l, axis, axis=2, tiled=True)
+        sim = jnp.einsum(
+            "bhid,bhjd->bhij", q_l, k_full, preferred_element_type=jnp.float32
+        ) * scale
+
+        if has_mask:
+            mask_full = jax.lax.all_gather(mask_l, axis, axis=1, tiled=True)
+            sim = jnp.where(mask_full[:, None, None, :], sim, NEG_INF)
+
+        if causal:
+            shard = jax.lax.axis_index(axis)
+            n_local = q_l.shape[2]
+            row = shard * n_local + jnp.arange(n_local)[:, None]
+            col = jnp.arange(k_full.shape[2])[None, :]
+            sim = jnp.where(row >= col, sim, NEG_INF)
+
+        attn = jax.nn.softmax(sim, axis=-1).astype(v_full.dtype)
+        return jnp.einsum("bhij,bhjd->bhid", attn, v_full)
+
+    if not has_mask:
+        mask = jnp.ones((q.shape[0], n), dtype=bool)  # trivially all-valid
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
+        out_specs=qkv_spec, check_rep=False,
+    )(q, k, v, mask)

@@ -1,0 +1,79 @@
+"""Sequence/context parallelism on the 8-device CPU mesh: sp_attend matches
+full attention; the whole denoiser runs correctly with its input sharded
+over the sequence axis (GSPMD conv halo exchange)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from naturalspeech2_tpu.ops.attention import attend_xla
+from naturalspeech2_tpu.parallel.mesh import make_mesh
+from naturalspeech2_tpu.parallel.sp import sp_attend
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(n_data=8)
+
+
+def test_sp_attend_matches_full(mesh):
+    q = jax.random.normal(KEY, (2, 4, 64, 16))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 64, 16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 64, 16))
+    out_sp = sp_attend(q, k, v, mesh=mesh)
+    out_full = attend_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_full), atol=2e-5)
+
+
+def test_sp_attend_masked(mesh):
+    q = jax.random.normal(KEY, (2, 2, 64, 8))
+    mask = jnp.arange(64)[None, :] < jnp.array([40, 64])[:, None]
+    out_sp = sp_attend(q, q, q, mesh=mesh, mask=mask)
+    out_full = attend_xla(q, q, q, mask=mask)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_full), atol=2e-5)
+
+
+def test_sp_attend_causal(mesh):
+    q = jax.random.normal(KEY, (1, 2, 64, 8))
+    out_sp = sp_attend(q, q, q, mesh=mesh, causal=True)
+    out_full = attend_xla(q, q, q, causal=True)
+    np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_full), atol=2e-5)
+
+
+def test_sp_attend_output_stays_sharded(mesh):
+    q = jax.device_put(
+        jax.random.normal(KEY, (2, 2, 64, 8)),
+        NamedSharding(mesh, P(None, None, "data", None)),
+    )
+    out = jax.jit(lambda q: sp_attend(q, q, q, mesh=mesh))(q)
+    assert out.sharding.spec == P(None, None, "data", None)
+    # each shard holds 1/8 of the sequence
+    shapes = {s.data.shape for s in out.addressable_shards}
+    assert shapes == {(2, 2, 8, 8)}
+
+
+def test_denoiser_sequence_sharded_forward(mesh):
+    """GSPMD whole-model sequence sharding: jit with the input constrained
+    to P(None, 'data', None) — conv halos inserted by XLA — must equal the
+    replicated forward."""
+    from naturalspeech2_tpu.models.denoiser import Model
+
+    model = Model(dim=16, depth=1, heads=2, dim_head=8, wavenet_layers=2,
+                  wavenet_stacks=2, use_flash_attn=False)
+    x = jax.random.normal(KEY, (2, 64, 16))
+    times = jnp.array([0.3, 0.6])
+    params = model.init(KEY, x, times)
+
+    ref = model.apply(params, x, times)
+
+    seq_sh = NamedSharding(mesh, P(None, "data", None))
+    x_sharded = jax.device_put(x, seq_sh)
+    out = jax.jit(
+        lambda p, x: model.apply(p, x, times),
+        in_shardings=(NamedSharding(mesh, P()), seq_sh),
+    )(params, x_sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
