@@ -82,5 +82,5 @@ def sp_attend(
     return shard_map(
         local, mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
-        out_specs=qkv_spec, check_rep=False,
+        out_specs=qkv_spec,
     )(q, k, v, mask)
