@@ -131,16 +131,40 @@ def data_loader(
     shuffle: bool = True,
     seed: int = 0,
     drop_last: bool = True,
+    prefetch: int = 2,
 ) -> Iterator[np.ndarray]:
     """Infinite iterator of ``[batch, max_length]`` float32 batches
-    (the reference cycles its DataLoader, :1825-1831)."""
-    rng = random.Random(seed)
-    order = list(range(len(dataset)))
+    (the reference cycles its DataLoader, :1825-1831). Batches are decoded
+    on a background thread (``prefetch`` deep) so host IO overlaps device
+    steps — the reference leans on torch DataLoader workers for this."""
+
+    def produce() -> Iterator[np.ndarray]:
+        rng = random.Random(seed)
+        order = list(range(len(dataset)))
+        while True:
+            if shuffle:
+                rng.shuffle(order)
+            for i in range(
+                0, len(order) - (batch_size - 1 if drop_last else 0), batch_size
+            ):
+                idxs = order[i : i + batch_size]
+                if len(idxs) < batch_size:
+                    idxs = idxs + order[: batch_size - len(idxs)]
+                yield np.stack([dataset[j] for j in idxs])
+
+    if prefetch <= 0:
+        yield from produce()
+        return
+
+    import queue
+    import threading
+
+    q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch)
+
+    def worker():
+        for batch in produce():
+            q.put(batch)
+
+    threading.Thread(target=worker, daemon=True).start()
     while True:
-        if shuffle:
-            rng.shuffle(order)
-        for i in range(0, len(order) - (batch_size - 1 if drop_last else 0), batch_size):
-            idxs = order[i : i + batch_size]
-            if len(idxs) < batch_size:
-                idxs = idxs + order[: batch_size - len(idxs)]
-            yield np.stack([dataset[j] for j in idxs])
+        yield q.get()
