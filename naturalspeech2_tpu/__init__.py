@@ -33,6 +33,8 @@ from naturalspeech2_tpu.models.encoders import (
 from naturalspeech2_tpu.models.aligner import Aligner, BinLoss, ForwardSumLoss
 from naturalspeech2_tpu.models.codec import SoundStream
 from naturalspeech2_tpu.trainer import Trainer
+from naturalspeech2_tpu.codec_trainer import CodecTrainer
+from naturalspeech2_tpu.distill import ProgressiveDistiller
 from naturalspeech2_tpu.utils.tokenizer import Tokenizer
 from naturalspeech2_tpu.utils.phonemizers.espeak_wrapper import ESpeak
 
