@@ -36,7 +36,7 @@ DEFAULT_BLOCK_KV = 1024
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref,  # blocks
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,  # blocks
     m_scratch, l_scratch, acc_scratch,  # VMEM carries across kv steps
     *, scale: float, causal: bool, block_q: int, block_kv: int,
 ):
@@ -108,6 +108,8 @@ def _flash_kernel(
         # but such rows are padding and never read.
         out = acc_scratch[:] / jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = out.astype(o_ref.dtype)
+        # logsumexp per query row, saved for the blockwise backward
+        lse_ref[0, 0] = m_scratch[:, :1] + jnp.log(jnp.where(l == 0.0, 1.0, l))
 
 
 def _flash_forward(
@@ -161,10 +163,18 @@ def _flash_forward(
             ),
             pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j)),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, dp), lambda b_, h_, i, j: (b_, h_, i, 0),
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, dp), lambda b_, h_, i, j: (b_, h_, i, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, i, 0),
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((bp, hp, n_qp, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
@@ -176,28 +186,237 @@ def _flash_forward(
         interpret=jax.default_backend() != "tpu",
     )(q, k, v, mask)
 
-    return out[:, :, :n_q, :d]
+    out, lse = out
+    return out[:, :, :n_q, :d], lse  # lse stays padded [bp, hp, n_qp, 1]
+
+
+# ---------------------------------------------------------------------- #
+# blockwise backward: dq kernel (iterate kv per q block) and dkv kernel
+# (iterate q per kv block); softmax probabilities recomputed from the saved
+# per-row logsumexp. delta = Σ_d dO·O is precomputed in XLA.
+# ---------------------------------------------------------------------- #
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, mask_ref, lse_ref, delta_ref, do_ref, dq_ref,
+    dq_scratch,
+    *, scale: float, causal: bool, block_q: int, block_kv: int,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    n_kv = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    if causal:
+        block_needed = (j * block_kv) <= (i * block_q + block_q - 1)
+    else:
+        block_needed = True
+
+    @pl.when(block_needed)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]  # [bq, 1]
+        delta = delta_ref[0, 0]  # [bq, 1]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        mask = mask_ref[0]
+        s = jnp.where(mask != 0, s, NEG_INF)
+        if causal:
+            row = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            col = j * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            s = jnp.where(row >= col, s, NEG_INF)
+
+        p = jnp.exp(s - lse)  # [bq, bkv]
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bkv]
+        ds = p * (dp - delta) * scale
+        dq_scratch[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == n_kv - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, mask_ref, lse_ref, delta_ref, do_ref,
+    dk_ref, dv_ref, dk_scratch, dv_scratch,
+    *, scale: float, causal: bool, block_q: int, block_kv: int,
+):
+    j = pl.program_id(2)  # kv block
+    i = pl.program_id(3)  # q block (innermost)
+    n_q = pl.num_programs(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    if causal:
+        block_needed = (j * block_kv) <= (i * block_q + block_q - 1)
+    else:
+        block_needed = True
+
+    @pl.when(block_needed)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0]
+        delta = delta_ref[0, 0]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        mask = mask_ref[0]
+        s = jnp.where(mask != 0, s, NEG_INF)
+        if causal:
+            row = i * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 0
+            )
+            col = j * block_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_kv), 1
+            )
+            s = jnp.where(row >= col, s, NEG_INF)
+
+        p = jnp.exp(s - lse)  # [bq, bkv]
+        dv_scratch[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # pᵀ @ dO → [bkv, d]
+        dp = jax.lax.dot_general(
+            do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale  # [bq, bkv]
+        dk_scratch[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # dsᵀ @ q → [bkv, d]
+
+    @pl.when(i == n_q - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(
+    q, k, v, mask, lse, out, do, *, causal: bool, scale: float,
+    block_q: int = DEFAULT_BLOCK_Q, block_kv: int = DEFAULT_BLOCK_KV,
+):
+    b, h, n_q, d = q.shape
+    n_kv = k.shape[2]
+    block_q = min(block_q, max(128, 1 << (n_q - 1).bit_length()))
+    block_kv = min(block_kv, max(128, 1 << (n_kv - 1).bit_length()))
+    n_q_pad = -n_q % block_q
+    n_kv_pad = -n_kv % block_kv
+    d_pad = -d % 128
+
+    if mask is None:
+        mask = jnp.ones((b, n_kv), dtype=bool)
+    if n_q_pad or n_kv_pad or d_pad:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, n_q_pad), (0, d_pad)))
+        do = jnp.pad(do, ((0, 0), (0, 0), (0, n_q_pad), (0, d_pad)))
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, n_q_pad), (0, d_pad)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, n_kv_pad), (0, d_pad)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, n_kv_pad), (0, d_pad)))
+        mask = jnp.pad(mask, ((0, 0), (0, n_kv_pad)))
+    # lse is already padded to n_qp from the forward
+
+    bp, hp, n_qp, dp = q.shape
+    n_kvp = k.shape[2]
+    mask8 = mask.astype(jnp.int8)[:, None, :]
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [b, h, n_qp, 1]
+
+    kwargs = dict(scale=scale, causal=causal, block_q=block_q, block_kv=block_kv)
+    q_spec = pl.BlockSpec((1, 1, block_q, dp), lambda b_, h_, i, j: (b_, h_, i, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_kv, dp), lambda b_, h_, i, j: (b_, h_, j, 0))
+    mask_spec = pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j))
+    row_spec = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **kwargs),
+        grid=(bp, hp, n_qp // block_q, n_kvp // block_kv),
+        in_specs=[q_spec, kv_spec, kv_spec, mask_spec, row_spec, row_spec, q_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, mask8, lse, delta, do)
+
+    # dkv grid: kv blocks outer, q blocks innermost (sequential accumulation)
+    q_spec_t = pl.BlockSpec((1, 1, block_q, dp), lambda b_, h_, j, i: (b_, h_, i, 0))
+    kv_spec_t = pl.BlockSpec((1, 1, block_kv, dp), lambda b_, h_, j, i: (b_, h_, j, 0))
+    mask_spec_t = pl.BlockSpec((1, 1, block_kv), lambda b_, h_, j, i: (b_, 0, j))
+    row_spec_t = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, j, i: (b_, h_, i, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **kwargs),
+        grid=(bp, hp, n_kvp // block_kv, n_qp // block_q),
+        in_specs=[
+            q_spec_t, kv_spec_t, kv_spec_t, mask_spec_t, row_spec_t,
+            row_spec_t, q_spec_t,
+        ],
+        out_specs=[kv_spec_t, kv_spec_t],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, dp), jnp.float32),
+            pltpu.VMEM((block_kv, dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, mask8, lse, delta, do)
+
+    return (
+        dq[:, :, :n_q, :d],
+        dk[:, :, :n_kv, :d],
+        dv[:, :, :n_kv, :d],
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _flash(q, k, v, mask, causal, scale):
-    return _flash_forward(q, k, v, mask, causal=causal, scale=scale)
+    out, _ = _flash_forward(q, k, v, mask, causal=causal, scale=scale)
+    return out
 
 
 def _flash_fwd(q, k, v, mask, causal, scale):
-    out = _flash_forward(q, k, v, mask, causal=causal, scale=scale)
-    return out, (q, k, v, mask)
+    out, lse = _flash_forward(q, k, v, mask, causal=causal, scale=scale)
+    return out, (q, k, v, mask, lse, out)
 
 
 def _flash_bwd(causal, scale, residuals, g):
-    from naturalspeech2_tpu.ops.attention import attend_xla
-
-    q, k, v, mask = residuals
-    f = lambda q_, k_, v_: attend_xla(
-        q_, k_, v_, mask=mask, causal=causal, scale=scale
+    q, k, v, mask, lse, out = residuals
+    dq, dk, dv = _flash_backward(
+        q, k, v, mask, lse, out, g, causal=causal, scale=scale
     )
-    _, vjp = jax.vjp(f, q, k, v)
-    dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
 

@@ -116,6 +116,41 @@ def test_flash_grad_matches_xla(qkv):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+def test_flash_grad_causal_matches_xla():
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (2, 2, 96, 32))
+
+    def loss_flash(q):
+        return (flash_attention(q, q, q, causal=True) ** 2).sum()
+
+    def loss_xla(q):
+        return (attend_xla(q, q, q, causal=True) ** 2).sum()
+
+    gf = jax.grad(loss_flash)(q)
+    gx = jax.grad(loss_xla)(q)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=2e-3)
+
+
+def test_flash_grad_rectangular_cross():
+    # cross-attention shape: n_q != n_kv exercises independent padding paths
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = jax.random.normal(kq, (2, 2, 40, 16))
+    k = jax.random.normal(kk, (2, 2, 130, 16))
+    v = jax.random.normal(kv, (2, 2, 130, 16))
+    mask = jnp.arange(130)[None, :] < jnp.array([100, 130])[:, None]
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, mask=mask) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (attend_xla(q, k, v, mask=mask) ** 2).sum()
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_attend_dispatch(qkv):
     q, k, v = qkv
     out = attend(q, k, v, backend="xla")
