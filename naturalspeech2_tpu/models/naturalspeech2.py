@@ -367,19 +367,26 @@ class NaturalSpeech2(nn.Module):
         text: jax.Array,
         text_lens: Optional[jax.Array] = None,
         max_frames: Optional[int] = None,
+        pitch: Optional[jax.Array] = None,
+        duration: Optional[jax.Array] = None,
     ):
         """Encode prompt + text, predict duration/pitch, build the aligned
         frame condition (ref sample :1467-1483). ``max_frames`` is the static
         frame budget for the duration expansion (defaults to 2× text budget).
-        Returns (prompt_enc, cond, duration)."""
+
+        ``pitch``/``duration`` (``[b, t_x]`` per-phoneme F0 Hz / frame
+        counts) override the predictors — the F0/singing-conditioning path
+        (BASELINE config 5): drive the melody explicitly, keep the timbre
+        from the prompt. Returns (prompt_enc, cond, duration)."""
         prompt_latents = self.process_prompt(prompt)
         prompt_enc = self.prompt_enc(prompt_latents, deterministic=True)
         phoneme_enc = self.phoneme_enc(text, deterministic=True)
 
-        duration, pitch = self.duration_pitch(
+        duration_pred, pitch_pred = self.duration_pitch(
             phoneme_enc, prompt_enc, deterministic=True
         )
-        pitch = pitch[:, None, :]
+        duration = duration_pred if duration is None else duration
+        pitch = (pitch_pred if pitch is None else pitch)[:, None, :]
 
         if max_frames is None:
             max_frames = text.shape[-1] * 2
@@ -506,6 +513,8 @@ def sample(
     batch_size: int = 1,
     cond_scale: float = 1.0,
     timesteps: Optional[int] = None,
+    pitch: Optional[jax.Array] = None,
+    duration: Optional[jax.Array] = None,
 ) -> jax.Array:
     """End-to-end sampling: [conditioning →] diffusion → codec decode
     (ref sample :1457-1501). Jittable with static ``length``/``batch_size``.
@@ -527,6 +536,7 @@ def sample(
         assert prompt is not None and text is not None
         prompt_enc, cond, _ = ns2.apply(
             variables, prompt, text, text_lens, length,
+            pitch, duration,
             method=ns2.conditioning_for_sample,
         )
         batch_size = prompt.shape[0]

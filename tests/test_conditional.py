@@ -117,3 +117,23 @@ def test_conditional_sample_jits(cond_setup):
     ))
     out = f(variables, jax.random.PRNGKey(4))
     assert out.shape == (2, 2560)
+
+
+def test_singing_pitch_and_duration_override(cond_setup):
+    """Explicit per-phoneme F0 + durations drive the conditioning (singing /
+    F0-control path); output differs from the predictor-driven sample."""
+    ns2, variables, audio, prompt, text, text_lens = cond_setup
+    b, t_x = text.shape
+    pitch = jnp.full((b, t_x), 220.0)
+    duration = jnp.full((b, t_x), 2, dtype=jnp.int32)
+    out_forced = sample(
+        ns2, variables, jax.random.PRNGKey(11),
+        length=8, prompt=prompt, text=text, pitch=pitch, duration=duration,
+    )
+    out_pred = sample(
+        ns2, variables, jax.random.PRNGKey(11),
+        length=8, prompt=prompt, text=text,
+    )
+    assert out_forced.shape == out_pred.shape
+    assert np.isfinite(np.asarray(out_forced)).all()
+    assert not np.allclose(np.asarray(out_forced), np.asarray(out_pred))
