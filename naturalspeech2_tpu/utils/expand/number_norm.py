@@ -48,9 +48,100 @@ def number_to_words_en(n: int) -> str:
     return _ONES[0]
 
 
+_FR_ONES = (
+    "zéro un deux trois quatre cinq six sept huit neuf dix onze douze treize "
+    "quatorze quinze seize dix-sept dix-huit dix-neuf"
+).split()
+_FR_TENS = ["", "dix", "vingt", "trente", "quarante", "cinquante", "soixante"]
+
+
+def number_to_words_fr(n: int) -> str:
+    if n < 0:
+        return "moins " + number_to_words_fr(-n)
+    if n < 20:
+        return _FR_ONES[n]
+    if n < 70:
+        tens, ones = divmod(n, 10)
+        if ones == 0:
+            return _FR_TENS[tens]
+        if ones == 1:
+            return _FR_TENS[tens] + " et un"
+        return _FR_TENS[tens] + "-" + _FR_ONES[ones]
+    if n < 80:  # soixante-dix..soixante-dix-neuf
+        rest = n - 60
+        joiner = " et " if rest == 11 else "-"
+        return "soixante" + joiner + _FR_ONES[rest]
+    if n < 100:  # quatre-vingt(s)
+        rest = n - 80
+        if rest == 0:
+            return "quatre-vingts"
+        return "quatre-vingt-" + number_to_words_fr(rest)
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        head = "cent" if hundreds == 1 else _FR_ONES[hundreds] + " cents"
+        if rest == 0:
+            return head
+        return (head.rstrip("s") if hundreds > 1 else head) + " " + number_to_words_fr(rest)
+    if n < 10**6:
+        thousands, rest = divmod(n, 1000)
+        head = "mille" if thousands == 1 else number_to_words_fr(thousands) + " mille"
+        return head if rest == 0 else head + " " + number_to_words_fr(rest)
+    millions, rest = divmod(n, 10**6)
+    head = (
+        "un million" if millions == 1
+        else number_to_words_fr(millions) + " millions"
+    )
+    return head if rest == 0 else head + " " + number_to_words_fr(rest)
+
+
+_ES_ONES = (
+    "cero uno dos tres cuatro cinco seis siete ocho nueve diez once doce "
+    "trece catorce quince dieciséis diecisiete dieciocho diecinueve veinte "
+    "veintiuno veintidós veintitrés veinticuatro veinticinco veintiséis "
+    "veintisiete veintiocho veintinueve"
+).split()
+_ES_TENS = ["", "", "", "treinta", "cuarenta", "cincuenta", "sesenta",
+            "setenta", "ochenta", "noventa"]
+_ES_HUNDREDS = ["", "ciento", "doscientos", "trescientos", "cuatrocientos",
+                "quinientos", "seiscientos", "setecientos", "ochocientos",
+                "novecientos"]
+
+
+def number_to_words_es(n: int) -> str:
+    if n < 0:
+        return "menos " + number_to_words_es(-n)
+    if n < 30:
+        return _ES_ONES[n]
+    if n < 100:
+        tens, ones = divmod(n, 10)
+        if ones == 0:
+            return _ES_TENS[tens]
+        return _ES_TENS[tens] + " y " + _ES_ONES[ones]
+    if n == 100:
+        return "cien"
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        head = _ES_HUNDREDS[hundreds]
+        return head if rest == 0 else head + " " + number_to_words_es(rest)
+    if n < 10**6:
+        thousands, rest = divmod(n, 1000)
+        head = "mil" if thousands == 1 else number_to_words_es(thousands) + " mil"
+        return head if rest == 0 else head + " " + number_to_words_es(rest)
+    millions, rest = divmod(n, 10**6)
+    head = (
+        "un millón" if millions == 1
+        else number_to_words_es(millions) + " millones"
+    )
+    return head if rest == 0 else head + " " + number_to_words_es(rest)
+
+
 def number_to_words(n: int, language: str = "en") -> str:
     if language == "en" or language is None:
         return number_to_words_en(n)
+    if language in ("fr", "fr-fr"):
+        return number_to_words_fr(n)
+    if language in ("es", "es-es"):
+        return number_to_words_es(n)
     raise NotImplementedError(f"number-to-words for language {language!r}")
 
 

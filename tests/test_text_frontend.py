@@ -120,3 +120,34 @@ def test_tokenizer_unknown_dropped():
 
 def test_vocab_is_reference_size():
     assert len(DEFAULT_PHONEMES) == 122
+
+
+def test_number_to_words_fr():
+    from naturalspeech2_tpu.utils.expand.number_norm import number_to_words_fr
+
+    assert number_to_words_fr(21) == "vingt et un"
+    assert number_to_words_fr(71) == "soixante et onze"
+    assert number_to_words_fr(80) == "quatre-vingts"
+    assert number_to_words_fr(99) == "quatre-vingt-dix-neuf"
+    assert number_to_words_fr(100) == "cent"
+    assert number_to_words_fr(200) == "deux cents"
+    assert number_to_words_fr(1000) == "mille"
+    assert number_to_words_fr(1500) == "mille cinq cents"
+
+
+def test_number_to_words_es():
+    from naturalspeech2_tpu.utils.expand.number_norm import number_to_words_es
+
+    assert number_to_words_es(21) == "veintiuno"
+    assert number_to_words_es(31) == "treinta y uno"
+    assert number_to_words_es(100) == "cien"
+    assert number_to_words_es(101) == "ciento uno"
+    assert number_to_words_es(500) == "quinientos"
+    assert number_to_words_es(1000) == "mil"
+    assert number_to_words_es(2024) == "dos mil veinticuatro"
+
+
+def test_normalizer_multilang():
+    n = NumberNormalizer()
+    assert "treinta" in n.normalize_numbers("Tengo 30 manzanas", language="es")
+    assert "trente" in n.normalize_numbers("J'ai 30 pommes", language="fr")
