@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from naturalspeech2_tpu.models.blocks import LearnedSinusoidalPosEmb
 from naturalspeech2_tpu.models.encoders import PerceiverResampler
 from naturalspeech2_tpu.models.transformer import ConditionableTransformer
-from naturalspeech2_tpu.models.wavenet import Wavenet
+from naturalspeech2_tpu.models.wavenet import FusedWavenet, Wavenet
 from naturalspeech2_tpu.utils.helpers import pad_or_curtail_to_length, prob_mask_like
 
 
@@ -46,6 +46,9 @@ class Model(nn.Module):
     resampler_depth: int = 2
     cond_drop_prob: float = 0.0
     condition_on_prompt: bool = False
+    # fused WaveNet body (single Pallas kernel; stacked params). Set False
+    # for the reference-structured per-block parameter layout.
+    use_fused_wavenet: bool = True
 
     @property
     def condition_dim_mult(self) -> int:
@@ -134,7 +137,8 @@ class Model(nn.Module):
             cond = pad_or_curtail_to_length(cond, x.shape[1], axis=1)
             x = x + cond
 
-        x = Wavenet(
+        wavenet_cls = FusedWavenet if self.use_fused_wavenet else Wavenet
+        x = wavenet_cls(
             dim=self.dim,
             stacks=self.wavenet_stacks,
             layers=self.wavenet_layers,

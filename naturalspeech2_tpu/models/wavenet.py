@@ -90,6 +90,67 @@ class WavenetStack(nn.Module):
         return residuals
 
 
+class FusedWavenet(nn.Module):
+    """Same computation as `Wavenet` with stacked parameters, executed as a
+    single fused Pallas kernel (`ops.wavenet_kernel`) — one launch instead of
+    ~33 small convs. Time conditioning (all blocks' FiLM projections) is one
+    einsum. ``use_pallas=False`` runs the numerically-equivalent XLA twin
+    (also the gradient path)."""
+
+    dim: int
+    stacks: int
+    layers: int
+    init_conv_kernel: int = 3
+    dim_cond_mult: Optional[int] = None
+    use_pallas: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t: Optional[jax.Array] = None) -> jax.Array:
+        from naturalspeech2_tpu.ops.wavenet_kernel import (
+            fused_wavenet_body,
+            wavenet_body_xla,
+        )
+
+        d, S, L = self.dim, self.stacks, self.layers
+        x = CausalConv1d(d, self.init_conv_kernel, name="init_conv")(x)
+        b = x.shape[0]
+
+        stacked_init = nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal", in_axis=-2, out_axis=-1,
+        )
+        conv_w = self.param("conv_w", stacked_init, (S, L, 3 * d, d))
+        conv_b = self.param("conv_b", nn.initializers.zeros, (S, L, d))
+        res_w = self.param("res_w", stacked_init, (S, L, d, d))
+        res_b = self.param("res_b", nn.initializers.zeros, (S, L, d))
+        skip_w = self.param("skip_w", stacked_init, (L, d, d))
+        skip_b = self.param("skip_b", nn.initializers.zeros, (L, d))
+
+        if self.dim_cond_mult is not None:
+            assert t is not None
+            dim_time = d * self.dim_cond_mult
+            film_w = self.param(
+                "film_w", stacked_init, (S, L, dim_time, 2 * d)
+            )
+            film_b = self.param(
+                "film_b",
+                lambda key, shape: jnp.concatenate(
+                    [jnp.ones(shape[:-1] + (d,)), jnp.zeros(shape[:-1] + (d,))],
+                    axis=-1,
+                ),
+                (S, L, 2 * d),
+            )
+            film = jnp.einsum("bt,sltc->bslc", t, film_w) + film_b
+        else:
+            film = jnp.broadcast_to(
+                jnp.concatenate([jnp.ones((d,)), jnp.zeros((d,))]),
+                (b, S, L, 2 * d),
+            )
+
+        body = fused_wavenet_body if self.use_pallas else wavenet_body_xla
+        skip = body(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
+        return CausalConv1d(d, 1, name="final_conv")(skip)
+
+
 class Wavenet(nn.Module):
     """Init causal conv → stacks (last with skips) → sum skips → 1×1 (ref :690-725)."""
 

@@ -1,0 +1,167 @@
+"""Fused WaveNet body as a single Pallas TPU kernel.
+
+The denoiser's WaveNet (4 stacks × 8 dilated causal conv blocks,
+`/root/reference/naturalspeech2_pytorch/naturalspeech2_pytorch.py:597-725`)
+lowers to ~33 small convs in XLA, each launch-overhead-bound on TPU
+(~18 µs for ~4 µs of MXU work). This kernel runs the whole body in ONE
+`pallas_call`: per (batch, stack) grid step the 8 per-dilation "lanes" live
+in VMEM scratch, each block is computed as shifted-concat matmuls
+(causal k=3 dilated conv ≡ [x_{t-2δ}‖x_{t-δ}‖x_t] @ W, an MXU-native
+contraction), followed by FiLM, the tanh·σ gate, the 1×1 residual matmul,
+and (last stack) the 1×1 skip matmul accumulated into the output.
+
+Weights are the stacked form: conv_w [S, L, 3d, d], res_w [S, L, d, d],
+skip_w [L, d, d], film [b, S, L, 2d] (time conditioning precomputed as one
+einsum outside). Gradients: custom_vjp against the numerically-equivalent
+XLA twin (`wavenet_body_xla`)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_down(x: jax.Array, amount: int) -> jax.Array:
+    """Causal shift along axis 0 (rows): x[t] ← x[t-amount], zeros at top."""
+    if amount == 0:
+        return x
+    n = x.shape[0]
+    return jnp.pad(x, ((amount, 0), (0, 0)))[:n]
+
+
+def wavenet_body_xla(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
+    """Pure-XLA twin of the kernel (used for the backward pass and tests).
+
+    x: [b, n, d]; conv_w: [S, L, 3d, d]; conv_b/res_b: [S, L, d];
+    res_w: [S, L, d, d]; skip_w: [L, d, d]; skip_b: [L, d];
+    film: [b, S, L, 2d]. Returns the summed skips [b, n, d]."""
+    b, n, d = x.shape
+    S, L = conv_w.shape[:2]
+    lanes = [x] * L
+    skip = jnp.zeros_like(x)
+    for s in range(S):
+        new = []
+        for l in range(L):
+            xin = lanes[l]
+            dil = 2**l
+            x1 = jnp.pad(xin, ((0, 0), (dil, 0), (0, 0)))[:, :n]
+            x2 = jnp.pad(xin, ((0, 0), (2 * dil, 0), (0, 0)))[:, :n]
+            cat = jnp.concatenate([x2, x1, xin], axis=-1)  # [b, n, 3d]
+            y = cat @ conv_w[s, l] + conv_b[s, l]
+            g = film[:, s, l, :d][:, None]
+            beta = film[:, s, l, d:][:, None]
+            y = y * g + beta
+            y = jnp.tanh(y) * jax.nn.sigmoid(y)
+            out = y + (xin @ res_w[s, l] + res_b[s, l])
+            new.append(out)
+            if s == S - 1:
+                skip = skip + out @ skip_w[l] + skip_b[l]
+        lanes = new
+    return skip
+
+
+def _wavenet_kernel(
+    x_ref, conv_w_ref, conv_b_ref, res_w_ref, res_b_ref,
+    skip_w_ref, skip_b_ref, film_ref, out_ref,
+    lanes_scratch, skip_scratch,
+    *, num_stacks: int, num_layers: int, dim: int,
+):
+    s = pl.program_id(1)
+    x = x_ref[0]  # [n, d]
+
+    for l in range(num_layers):
+        # stack 0 blocks all take the stack input; later stacks take their lane
+        @pl.when(s == 0)
+        def _seed(l=l):
+            lanes_scratch[l] = x.astype(jnp.float32)
+
+    @pl.when(s == 0)
+    def _zero_skip():
+        skip_scratch[:] = jnp.zeros_like(skip_scratch)
+
+    for l in range(num_layers):
+        xin = lanes_scratch[l]  # [n, d] f32
+        dil = 2**l
+        x1 = _shift_down(xin, dil)
+        x2 = _shift_down(xin, 2 * dil)
+        cat = jnp.concatenate([x2, x1, xin], axis=-1)  # [n, 3d]
+        y = jax.lax.dot_general(
+            cat, conv_w_ref[0, l], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + conv_b_ref[0, l]
+        gamma = film_ref[0, 0, l, :dim]
+        beta = film_ref[0, 0, l, dim:]
+        y = y * gamma[None, :] + beta[None, :]
+        y = jnp.tanh(y) * jax.nn.sigmoid(y)
+        res = jax.lax.dot_general(
+            xin, res_w_ref[0, l], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + res_b_ref[0, l]
+        out = y + res
+        lanes_scratch[l] = out
+
+        @pl.when(s == num_stacks - 1)
+        def _skip(out=out, l=l):
+            skip_scratch[:] += jax.lax.dot_general(
+                out, skip_w_ref[l], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + skip_b_ref[l]
+
+    @pl.when(s == num_stacks - 1)
+    def _emit():
+        out_ref[0] = skip_scratch[:].astype(out_ref.dtype)
+
+
+def _fused_forward(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
+    b, n, d = x.shape
+    S, L = conv_w.shape[:2]
+
+    return pl.pallas_call(
+        functools.partial(
+            _wavenet_kernel, num_stacks=S, num_layers=L, dim=d,
+        ),
+        grid=(b, S),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda b_, s_: (b_, 0, 0)),
+            pl.BlockSpec((1, L, 3 * d, d), lambda b_, s_: (s_, 0, 0, 0)),
+            pl.BlockSpec((1, L, d), lambda b_, s_: (s_, 0, 0)),
+            pl.BlockSpec((1, L, d, d), lambda b_, s_: (s_, 0, 0, 0)),
+            pl.BlockSpec((1, L, d), lambda b_, s_: (s_, 0, 0)),
+            pl.BlockSpec((L, d, d), lambda b_, s_: (0, 0, 0)),
+            pl.BlockSpec((L, d), lambda b_, s_: (0, 0)),
+            pl.BlockSpec((1, 1, L, 2 * d), lambda b_, s_: (b_, s_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda b_, s_: (b_, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((L, n, d), jnp.float32),
+            pltpu.VMEM((n, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
+
+
+@jax.custom_vjp
+def fused_wavenet_body(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
+    """Pallas-fused WaveNet body; see module docstring for shapes."""
+    return _fused_forward(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
+
+
+def _fwd(*args):
+    return _fused_forward(*args), args
+
+
+def _bwd(residuals, g):
+    _, vjp = jax.vjp(wavenet_body_xla, *residuals)
+    return vjp(g)
+
+
+fused_wavenet_body.defvjp(_fwd, _bwd)
