@@ -149,19 +149,55 @@ class ConditionableTransformer(nn.Module):
         context: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        import math
+
         from naturalspeech2_tpu.models.blocks import FeedForward, RMSNorm
 
         cond = self.dim_cond_mult is not None
-        norm_kwargs = (
-            dict(scale=not cond, dim_cond=self.dim * self.dim_cond_mult)
-            if cond
-            else {}
-        )
+        norms_per_layer = 3 if self.cross_attn else 2
 
-        t = times
+        if cond:
+            # one stacked projection computes every adaptive norm's γ/β for
+            # the whole network (depth × norms_per_layer tiny matmuls fused
+            # into a single einsum per step)
+            assert times is not None
+            n_norms = self.depth * norms_per_layer
+            dim_cond = self.dim * self.dim_cond_mult
+            ada_w = self.param(
+                "ada_norm_w", nn.initializers.zeros,
+                (n_norms, dim_cond, 2 * self.dim),
+            )
+            ada_b = self.param(
+                "ada_norm_b",
+                lambda key, shape: jnp.concatenate(
+                    [jnp.ones(shape[:-1] + (self.dim,)),
+                     jnp.zeros(shape[:-1] + (self.dim,))], axis=-1,
+                ),
+                (n_norms, 2 * self.dim),
+            )
+            ada = jnp.einsum("bt,ntc->bnc", times, ada_w) + ada_b  # [b, n, 2d]
+            gammas = ada[..., : self.dim][:, :, None, :]  # [b, n_norms, 1, d]
+            betas = ada[..., self.dim :][:, :, None, :]
+            scale = math.sqrt(self.dim)
+
+            def ada_norm(h, idx):
+                norm = jnp.linalg.norm(h, axis=-1, keepdims=True)
+                h = h / jnp.maximum(norm, 1e-12) * scale
+                return h * gammas[:, idx] + betas[:, idx]
+        else:
+
+            def ada_norm(h, idx):
+                raise AssertionError("unconditional path uses RMSNorm modules")
+
+        def maybe_norm(h, name, idx):
+            if cond:
+                return ada_norm(h, idx)
+            return RMSNorm(self.dim, name=name)(h)
+
         for i in range(self.depth):
+            base = i * norms_per_layer
             res = x
-            x = RMSNorm(self.dim, **norm_kwargs, name=f"attn_norm_{i}")(x, cond=t)
+            x = maybe_norm(x, f"attn_norm_{i}", base)
             x = Attention(
                 dim=self.dim,
                 dim_head=self.dim_head,
@@ -173,9 +209,7 @@ class ConditionableTransformer(nn.Module):
             if self.cross_attn:
                 assert context is not None
                 res = x
-                x = RMSNorm(self.dim, **norm_kwargs, name=f"cross_attn_norm_{i}")(
-                    x, cond=t
-                )
+                x = maybe_norm(x, f"cross_attn_norm_{i}", base + 1)
                 x = Attention(
                     dim=self.dim,
                     dim_head=self.dim_head,
@@ -185,7 +219,7 @@ class ConditionableTransformer(nn.Module):
                 )(x, context=context, deterministic=deterministic) + res
 
             res = x
-            x = RMSNorm(self.dim, **norm_kwargs, name=f"ff_norm_{i}")(x, cond=t)
+            x = maybe_norm(x, f"ff_norm_{i}", base + norms_per_layer - 1)
             x = FeedForward(
                 self.dim, mult=self.ff_mult, causal_conv=self.ff_causal_conv,
                 name=f"ff_{i}",
