@@ -32,6 +32,7 @@ def compute_pitch(
     f0_ceil: float = 640.0,
     frame_length: Optional[int] = None,
     voicing_threshold: float = 0.3,
+    median_smooth: bool = True,
 ) -> jax.Array:
     """audio ``[b, T]`` → f0 ``[b, frames]`` in Hz (0 = unvoiced).
 
@@ -85,7 +86,17 @@ def compute_pitch(
 
     f0 = sample_rate / jnp.maximum(refined_lag, 1.0)
     voiced = (peak > voicing_threshold) & (f0 >= f0_floor) & (f0 <= f0_ceil)
-    return jnp.where(voiced, f0, 0.0)
+    f0 = jnp.where(voiced, f0, 0.0)
+
+    if median_smooth:
+        # 3-tap median removes isolated octave/half-octave glitches
+        # (StoneMask-style cleanup); voicing decisions stay per-frame.
+        left = jnp.pad(f0, ((0, 0), (1, 0)), mode="edge")[:, :-1]
+        right = jnp.pad(f0, ((0, 0), (0, 1)), mode="edge")[:, 1:]
+        stacked = jnp.stack([left, f0, right], axis=0)
+        med = jnp.median(stacked, axis=0)
+        f0 = jnp.where(f0 > 0, med, 0.0)
+    return f0
 
 
 def compute_pitch_pyworld(

@@ -161,3 +161,31 @@ def test_aligner_module_end_to_end():
     bloss = bl.apply({}, path, logp, jnp.array([8, 6]))
     assert np.isfinite(float(bloss))
     assert float(bloss) >= 0
+
+
+def test_pitch_noisy_sine():
+    """ACF estimator with median smoothing holds up on a noisy tone."""
+    sr, hop, freq = 24000, 160, 220.0
+    rng = np.random.RandomState(0)
+    t = np.arange(sr) / sr
+    clean = np.sin(2 * np.pi * freq * t)
+    noisy = clean + 0.3 * rng.randn(sr)
+    f0 = np.asarray(compute_pitch(
+        jnp.asarray(noisy[None, :], jnp.float32), sample_rate=sr, hop_length=hop
+    ))
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.6 * f0.shape[1]
+    assert abs(np.median(voiced) - freq) / freq < 0.03
+
+
+def test_pitch_vibrato_tracks():
+    """Slow vibrato (±5%) is tracked frame to frame."""
+    sr, hop = 24000, 160
+    t = np.arange(sr) / sr
+    inst_freq = 220.0 * (1 + 0.05 * np.sin(2 * np.pi * 4.0 * t))
+    phase = 2 * np.pi * np.cumsum(inst_freq) / sr
+    audio = jnp.asarray(np.sin(phase)[None, :], jnp.float32)
+    f0 = np.asarray(compute_pitch(audio, sample_rate=sr, hop_length=hop))
+    voiced = f0[0][f0[0] > 0]
+    assert voiced.min() > 200 and voiced.max() < 240
+    assert voiced.max() - voiced.min() > 10  # actually follows the vibrato
