@@ -97,6 +97,12 @@ def attend(
         )
         backend = "flash" if use_flash else "xla"
 
+    if backend == "flash" and dropout > 0.0 and dropout_key is not None:
+        # attention-probability dropout isn't implemented in the Pallas
+        # kernel yet (ROADMAP); silently skipping it would change training
+        # semantics, so dropout-active steps use the XLA path.
+        backend = "xla"
+
     if backend == "flash":
         from naturalspeech2_tpu.ops.flash_attention import flash_attention
 

@@ -156,3 +156,16 @@ def test_attend_dispatch(qkv):
     out = attend(q, k, v, backend="xla")
     out2 = attend(q, k, v, backend="flash")
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=2e-5)
+
+
+def test_flash_backend_applies_dropout_via_xla_fallback():
+    """Dropout must not be silently skipped on the flash backend: with a
+    dropout key the output differs from the no-dropout output."""
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (1, 2, 64, 16))
+    out_nodrop = attend(q, q, q, backend="flash")
+    out_drop = attend(
+        q, q, q, backend="flash", dropout=0.5,
+        dropout_key=jax.random.PRNGKey(1),
+    )
+    assert not np.allclose(np.asarray(out_nodrop), np.asarray(out_drop))
