@@ -84,3 +84,61 @@ def sp_attend(
         in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
         out_specs=qkv_spec,
     )(q, k, v, mask)
+
+
+def ulysses_attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """DeepSpeed-Ulysses-style sequence parallelism: an all-to-all trades
+    the sequence sharding for HEAD sharding (each device holds the full
+    sequence for h/P heads), attention runs fully local — no O(n) gather of
+    keys/values like `sp_attend` — and a second all-to-all restores the
+    sequence sharding. Communication is O(n·d·h/P) per device either way,
+    but Ulysses keeps per-device attention memory at h/P of the full score
+    matrix. Requires heads divisible by the axis size."""
+    from naturalspeech2_tpu.ops.attention import attend_xla
+
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, h, n, d = q.shape
+    p = mesh.shape[axis]
+    assert h % p == 0, f"heads {h} must divide over {axis}={p}"
+    assert n % p == 0, f"sequence {n} must divide over {axis}={p}"
+
+    qkv_spec = P(None, None, axis, None)
+    mask_spec = P(None, axis)
+    has_mask = mask is not None
+    if not has_mask:
+        mask = jnp.ones((b, n), dtype=bool)
+
+    def local(q_l, k_l, v_l, mask_l):
+        # [b, h, n/P, d] → [b, h/P, n, d]: split heads, gather sequence
+        def to_heads(t):
+            return jax.lax.all_to_all(
+                t, axis, split_axis=1, concat_axis=2, tiled=True
+            )
+
+        q_h, k_h, v_h = to_heads(q_l), to_heads(k_l), to_heads(v_l)
+        mask_full = jax.lax.all_gather(mask_l, axis, axis=1, tiled=True)
+        o = attend_xla(
+            q_h, k_h, v_h, mask=mask_full if has_mask else None,
+            causal=causal, scale=scale,
+        )
+        # [b, h/P, n, d] → [b, h, n/P, d]
+        return jax.lax.all_to_all(
+            o, axis, split_axis=2, concat_axis=1, tiled=True
+        )
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
+        out_specs=qkv_spec,
+    )(q, k, v, mask)

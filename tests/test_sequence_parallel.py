@@ -77,3 +77,24 @@ def test_denoiser_sequence_sharded_forward(mesh):
         in_shardings=(NamedSharding(mesh, P()), seq_sh),
     )(params, x_sharded)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ulysses_attend_matches_full(mesh):
+    from naturalspeech2_tpu.parallel.sp import ulysses_attend
+
+    q = jax.random.normal(KEY, (2, 8, 64, 16))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 64, 16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 64, 16))
+    out = ulysses_attend(q, k, v, mesh=mesh)
+    ref = attend_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ulysses_attend_masked_causal(mesh):
+    from naturalspeech2_tpu.parallel.sp import ulysses_attend
+
+    q = jax.random.normal(KEY, (2, 8, 64, 16))
+    mask = jnp.arange(64)[None, :] < jnp.array([40, 64])[:, None]
+    out = ulysses_attend(q, q, q, mesh=mesh, mask=mask, causal=True)
+    ref = attend_xla(q, q, q, mask=mask, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
