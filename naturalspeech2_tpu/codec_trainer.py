@@ -14,7 +14,7 @@ later round; the losses here train a functional codec from scratch.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Optional
 
 import flax
 import jax

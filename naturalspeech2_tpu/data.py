@@ -14,11 +14,10 @@ one compiled XLA program.
 
 from __future__ import annotations
 
-import os
 import random
 import wave
 from pathlib import Path
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional
 
 import numpy as np
 

@@ -15,8 +15,7 @@ single student step land exactly where the teacher's two half-steps do.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ improvement over the reference's uniform Linear init).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import flax.linen as nn
 import jax

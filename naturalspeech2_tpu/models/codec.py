@@ -23,8 +23,7 @@ codec itself (reconstruction + commitment) are provided via ``codec_loss``.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

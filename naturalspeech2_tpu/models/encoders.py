@@ -8,7 +8,7 @@ TPU-native counterparts of the reference encoders in
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -24,7 +24,6 @@ Known reference defects intentionally fixed here (SURVEY.md §7):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.linen as nn

@@ -19,7 +19,6 @@ mask. Dropout on attention probabilities is only applied on the xla path
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -11,7 +11,6 @@ constants once.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional
 
 import jax

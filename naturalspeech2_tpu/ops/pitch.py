@@ -15,7 +15,6 @@ frames emit 0, like pyworld.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

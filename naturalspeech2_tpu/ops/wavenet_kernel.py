@@ -18,8 +18,6 @@ XLA twin (`wavenet_body_xla`)."""
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

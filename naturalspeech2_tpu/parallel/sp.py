@@ -18,7 +18,6 @@ extension for 60-second-plus generation:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -19,11 +19,9 @@ re-designed for XLA instead of translated from Accelerate:
 
 from __future__ import annotations
 
-import os
 import wave as wave_mod
-from functools import partial
 from pathlib import Path
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Iterator, Optional, Tuple
 
 import flax
 import jax
@@ -34,13 +32,7 @@ from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from naturalspeech2_tpu.models.naturalspeech2 import NaturalSpeech2, sample
-from naturalspeech2_tpu.parallel.mesh import (
-    DATA_AXIS,
-    batch_sharding,
-    is_main_process,
-    make_mesh,
-    replicated,
-)
+from naturalspeech2_tpu.parallel.mesh import DATA_AXIS, is_main_process, make_mesh
 from naturalspeech2_tpu.version import __version__
 
 

@@ -10,7 +10,7 @@ the JAX version takes the output length as a static argument and masks.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
