@@ -69,6 +69,7 @@ class NaturalSpeech2(nn.Module):
     pitch_emb_dim: int = 256
     pitch_emb_pp_hidden_dim: int = 512
     mel_hop_length: int = 160
+    audio_to_mel_kwargs: Optional[dict] = None  # extra STFT/mel params (ref :1190)
     scale: float = 1.0
     duration_loss_weight: float = 1.0
     pitch_loss_weight: float = 1.0
@@ -310,9 +311,12 @@ class NaturalSpeech2(nn.Module):
             assert audio.ndim == 2
             mel = audio_to_mel(
                 audio,
-                sample_rate=self.sample_hz,
-                n_mels=self.aligner_dim_in,
-                hop_length=self.mel_hop_length,
+                **{
+                    "sample_rate": self.sample_hz,
+                    "n_mels": self.aligner_dim_in,
+                    "hop_length": self.mel_hop_length,
+                    **(self.audio_to_mel_kwargs or {}),
+                },
             )  # [b, n_mels, frames]
             mel = mel[..., : pitch.shape[-1]]
         pitch = pitch[..., : mel.shape[-1]]
