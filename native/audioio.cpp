@@ -189,9 +189,16 @@ bool decode_residual(BitReader& br, int pred_order, size_t block_size,
     int escape = method == 0 ? 15 : 31;
     int part_order = (int)br.bits(4);
     size_t n_parts = 1ull << part_order;
+    // partition sizes must tile the block exactly and the first partition
+    // must fit its warmup samples; the frame-sync scan will try to decode at
+    // any 0xFFF8 byte pair, so corrupt input reaches here routinely
+    size_t part_size = block_size >> part_order;
+    if (part_size < (size_t)pred_order) return false;
+    if ((part_size << part_order) != block_size) return false;
     size_t idx = pred_order;
     for (size_t p = 0; p < n_parts; p++) {
-        size_t count = (block_size >> part_order) - (p == 0 ? pred_order : 0);
+        size_t count = part_size - (p == 0 ? (size_t)pred_order : 0);
+        if (idx + count > out.size()) return false;
         int param = (int)br.bits(param_bits);
         if (param == escape) {
             int raw_bits = (int)br.bits(5);
@@ -219,6 +226,7 @@ bool decode_subframe(BitReader& br, size_t block_size, int bps,
     int wasted = 0;
     if (br.bit()) wasted = 1 + (int)br.unary();
     bps -= wasted;
+    if (bps <= 0 || bps > 33 || wasted > 32) return false;
 
     out.assign(block_size, 0);
 
@@ -242,6 +250,7 @@ bool decode_subframe(BitReader& br, size_t block_size, int bps,
         for (int i = 0; i < order; i++) out[i] = br.sbits(bps);
         int precision = (int)br.bits(4) + 1;
         int shift = (int)br.sbits(5);
+        if (shift < 0) return false;  // negative shift is invalid FLAC; >> UB
         std::vector<int64_t> coeffs(order);
         for (int i = 0; i < order; i++) coeffs[i] = br.sbits(precision);
         if (!decode_residual(br, order, block_size, out)) return false;
@@ -274,7 +283,7 @@ int decode_flac(const Bytes& file, std::vector<float>& mono, int* sr) {
         uint32_t block_len =
             ((uint32_t)d[pos + 1] << 16) | ((uint32_t)d[pos + 2] << 8) | d[pos + 3];
         pos += 4;
-        if (type == 0 && block_len >= 34) {  // STREAMINFO
+        if (type == 0 && block_len >= 34 && pos + 34 <= n) {  // STREAMINFO
             const uint8_t* s = d + pos;
             sample_rate = (int)((((uint32_t)s[10] << 16) | ((uint32_t)s[11] << 8) |
                                  s[12]) >> 4);
@@ -289,7 +298,10 @@ int decode_flac(const Bytes& file, std::vector<float>& mono, int* sr) {
     if (sample_rate == 0 || channels == 0 || channels > 8) return -3;
 
     mono.clear();
-    if (total_samples) mono.reserve((size_t)total_samples);
+    // corrupt STREAMINFO can claim up to 2^36 samples; never reserve more
+    // than the compressed file could plausibly expand to
+    if (total_samples && total_samples <= (uint64_t)n * 4)
+        mono.reserve((size_t)total_samples);
 
     static const int SR_TABLE[12] = {0,      88200, 176400, 192000, 8000, 16000,
                                      22050,  24000, 32000,  44100,  48000, 96000};
@@ -403,10 +415,15 @@ int audio_load(const char* path, float** out_samples, int64_t* out_len,
     std::vector<float> mono;
     int sr = 0;
     int rc;
-    if (file.data.size() >= 4 && memcmp(file.data.data(), "fLaC", 4) == 0)
-        rc = decode_flac(file, mono, &sr);
-    else
-        rc = decode_wav(file, mono, &sr);
+    // never let bad_alloc/length_error from corrupt input escape the C ABI
+    try {
+        if (file.data.size() >= 4 && memcmp(file.data.data(), "fLaC", 4) == 0)
+            rc = decode_flac(file, mono, &sr);
+        else
+            rc = decode_wav(file, mono, &sr);
+    } catch (...) {
+        return -7;
+    }
     if (rc != 0) return rc;
 
     float* buf = (float*)malloc(mono.size() * sizeof(float));

@@ -137,6 +137,13 @@ def data_loader(
     on a background thread (``prefetch`` deep) so host IO overlaps device
     steps — the reference leans on torch DataLoader workers for this."""
 
+    if drop_last and len(dataset) < batch_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} items < batch_size={batch_size} with "
+            "drop_last=True: no batch can ever be produced (use a smaller "
+            "batch or drop_last=False)"
+        )
+
     def produce() -> Iterator[np.ndarray]:
         rng = random.Random(seed)
         order = list(range(len(dataset)))

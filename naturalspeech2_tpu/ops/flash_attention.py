@@ -69,8 +69,7 @@ def _flash_kernel(
         ) * scale  # [bq, bkv] f32
 
         mask = mask_ref[0]  # [1, bkv] int8 key-padding mask
-        s = jnp.where(mask != 0, s, NEG_INF)  # broadcasts over query rows
-
+        valid = jnp.broadcast_to(mask != 0, (block_q, block_kv))
         if causal:
             row = i * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0
@@ -78,14 +77,18 @@ def _flash_kernel(
             col = j * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 1
             )
-            s = jnp.where(row >= col, s, NEG_INF)
+            valid = valid & (row >= col)
+        s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_scratch[:]  # [bq, 128] replicated
         l_prev = l_scratch[:]
         m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
         m_new = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
 
-        p = jnp.exp(s - m_new[:, :1])  # [bq, bkv]
+        # explicit zero for masked entries: NEG_INF is finite, so for a
+        # fully-masked row s == m_new and exp(s - m_new) would be 1 per key
+        # (emitting mean-of-v); the where keeps l = 0 so _finalize zeros it
+        p = jnp.where(valid, jnp.exp(s - m_new[:, :1]), 0.0)  # [bq, bkv]
         correction = jnp.exp(m_prev - m_new)  # [bq, 128]
         l_new = correction * l_prev + jnp.broadcast_to(
             jnp.sum(p, axis=-1, keepdims=True), l_prev.shape
@@ -228,7 +231,7 @@ def _flash_bwd_dq_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         mask = mask_ref[0]
-        s = jnp.where(mask != 0, s, NEG_INF)
+        valid = jnp.broadcast_to(mask != 0, (block_q, block_kv))
         if causal:
             row = i * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0
@@ -236,9 +239,11 @@ def _flash_bwd_dq_kernel(
             col = j * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 1
             )
-            s = jnp.where(row >= col, s, NEG_INF)
+            valid = valid & (row >= col)
 
-        p = jnp.exp(s - lse)  # [bq, bkv]
+        # zero masked entries (finite NEG_INF would give p=1 on fully-masked
+        # rows where lse==NEG_INF, leaking ds/dv into masked keys)
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # [bq, bkv]
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -286,7 +291,7 @@ def _flash_bwd_dkv_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         mask = mask_ref[0]
-        s = jnp.where(mask != 0, s, NEG_INF)
+        valid = jnp.broadcast_to(mask != 0, (block_q, block_kv))
         if causal:
             row = i * block_q + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 0
@@ -294,9 +299,9 @@ def _flash_bwd_dkv_kernel(
             col = j * block_kv + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, block_kv), 1
             )
-            s = jnp.where(row >= col, s, NEG_INF)
+            valid = valid & (row >= col)
 
-        p = jnp.exp(s - lse)  # [bq, bkv]
+        p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # [bq, bkv]
         dv_scratch[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,

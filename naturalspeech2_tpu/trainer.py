@@ -294,6 +294,8 @@ class Trainer:
 
     def load(self, path: str):
         assert self.state is not None, "call init_state first"
+        from naturalspeech2_tpu.parallel.tp import shard_state
+
         payload = flax.serialization.msgpack_restore(Path(path).read_bytes())
         self.state = TrainState(
             step=jnp.asarray(payload["step"]),
@@ -307,6 +309,10 @@ class Trainer:
                 self.state.ema_params, payload["ema_params"]
             ),
         )
+        # from_state_dict yields host numpy leaves — re-apply the mesh
+        # placement chosen at init (replicated or TP-sharded over 'model'),
+        # otherwise auto-resume silently drops the sharding layout
+        self.state = shard_state(self.mesh, self.state)
         if payload.get("version") != __version__:
             print(
                 f"checkpoint saved with version {payload.get('version')}, "
@@ -326,8 +332,26 @@ class Trainer:
         batch = next(self.batches)
         if self.state is None:
             self.init_state(batch)
-            # elastic restart: resume from the newest checkpoint if present
+            # elastic restart: resume from the newest checkpoint if present.
+            # Only the main process writes checkpoints, so on multi-host the
+            # decision must be main's — agree via an all-process broadcast
+            # (otherwise non-main hosts restart from step 0 and diverge).
             latest = self.latest_checkpoint()
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                found = multihost_utils.broadcast_one_to_all(
+                    np.asarray(latest is not None)
+                )
+                if bool(found) and latest is None:
+                    raise FileNotFoundError(
+                        "main process has a checkpoint but this host's "
+                        f"results_folder ({self.results_folder}) does not — "
+                        "results_folder must be shared storage for multi-host "
+                        "elastic restart"
+                    )
+                if not bool(found):
+                    latest = None
             if latest is not None:
                 print(f"resuming from {latest}")
                 self.load(latest)

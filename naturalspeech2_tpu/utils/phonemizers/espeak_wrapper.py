@@ -70,10 +70,11 @@ class ESpeak(BasePhonemizer):
         return detect_espeak_binary() is not None
 
     def version(self) -> str:
+        idx = 3 if self.backend == "espeak-ng" else 2
         for line in _run_espeak(self.backend, ["--version"]):
             parts = line.strip().split()
-            if len(parts) >= 3:
-                return parts[3] if self.backend == "espeak-ng" else parts[2]
+            if len(parts) > idx:
+                return parts[idx]
         return "unknown"
 
     def is_supported_language(self, language: str) -> bool:

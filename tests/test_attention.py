@@ -169,3 +169,45 @@ def test_flash_backend_applies_dropout_via_xla_fallback():
         dropout_key=jax.random.PRNGKey(1),
     )
     assert not np.allclose(np.asarray(out_nodrop), np.asarray(out_drop))
+
+
+def test_flash_fully_masked_rows_zero_and_no_grad_leak():
+    """A batch element whose key mask is entirely False must produce zero
+    output (not mean-of-v: NEG_INF is finite so naive online softmax emits
+    p=1 per masked key) and must not leak gradients into masked k/v."""
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (2, 2, 128, 32))
+    k = jax.random.normal(kk, (2, 2, 128, 32))
+    v = jax.random.normal(kv, (2, 2, 128, 32))
+    mask = jnp.ones((2, 128), dtype=bool).at[1].set(False)  # element 1 all-masked
+
+    out = flash_attention(q, k, v, mask=mask)
+    assert float(jnp.abs(out[1]).max()) == 0.0
+    # valid element matches XLA path
+    ref = _ref_attention(q[:1], k[:1], v[:1])
+    np.testing.assert_allclose(np.asarray(out[:1]), ref, atol=2e-5)
+
+    def loss(k_, v_):
+        return jnp.sum(flash_attention(q, k_, v_, mask=mask) ** 2)
+
+    dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
+    assert float(jnp.abs(dk[1]).max()) == 0.0, "grad leaked into fully-masked keys"
+    assert float(jnp.abs(dv[1]).max()) == 0.0, "grad leaked into fully-masked values"
+
+
+def test_flash_partial_row_mask_grad_no_leak():
+    """Masked key positions in a normally-masked batch receive zero dk/dv."""
+    key = jax.random.PRNGKey(8)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (1, 2, 128, 32))
+    k = jax.random.normal(kk, (1, 2, 128, 32))
+    v = jax.random.normal(kv, (1, 2, 128, 32))
+    mask = jnp.arange(128)[None, :] < 70
+
+    def loss(k_, v_):
+        return jnp.sum(flash_attention(q, k_, v_, mask=mask) ** 2)
+
+    dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
+    assert float(jnp.abs(dk[0, :, 70:]).max()) == 0.0
+    assert float(jnp.abs(dv[0, :, 70:]).max()) == 0.0

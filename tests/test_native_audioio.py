@@ -176,3 +176,36 @@ def test_dataset_uses_native_loader(tmp_path):
     write_wav16(path, audio)
     out, sr = load_audio(str(path))
     assert sr == SR and len(out) == len(audio)
+
+
+def test_flac_corrupt_no_crash(tmp_path):
+    """Corrupt FLAC bytes with embedded 0xFFF8 sync pairs must be rejected
+    (or decoded partially), never crash/overflow (ADVICE r1: decode_residual
+    size_t underflow wrote ~2^64 entries past the block buffer)."""
+    import random as _random
+
+    rng = _random.Random(0)
+    audioio = pytest.importorskip("naturalspeech2_tpu.native.audioio")
+    for trial in range(200):
+        n = rng.randint(50, 400)
+        body = bytes(rng.randrange(256) for _ in range(n))
+        # force plenty of frame-sync candidates and a STREAMINFO-ish header
+        data = b"fLaC" + bytes([0x80, 0, 0, 34]) + body
+        data = data.replace(b"\x00\x00", b"\xff\xf8")
+        p = tmp_path / f"fuzz{trial}.flac"
+        p.write_bytes(data)
+        try:
+            audio, sr = audioio.load(str(p))
+            assert np.all(np.isfinite(audio))
+        except Exception:
+            pass  # rejection is fine; crashing the process is not
+
+
+def test_flac_truncated_streaminfo(tmp_path):
+    audioio = pytest.importorskip("naturalspeech2_tpu.native.audioio")
+    p = tmp_path / "trunc.flac"
+    p.write_bytes(b"fLaC" + bytes([0x80, 0, 0, 34]) + b"\x01" * 40)
+    try:
+        audioio.load(str(p))
+    except Exception:
+        pass

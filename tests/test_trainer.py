@@ -129,3 +129,17 @@ def test_sound_dataset(tmp_path):
     assert x.shape == (3200,)
     batch = next(data_loader(ds, batch_size=2))
     assert batch.shape == (2, 3200)
+
+
+def test_data_loader_rejects_tiny_dataset(tmp_path):
+    """drop_last=True with len(dataset) < batch_size must raise loudly, not
+    hang the consumer forever (ADVICE r1)."""
+    import pytest as _pytest
+
+    from naturalspeech2_tpu.data import SoundDataset, data_loader
+    from naturalspeech2_tpu.trainer import write_wav
+
+    write_wav(str(tmp_path / "a.wav"), np.zeros(640, np.float32), 24000)
+    ds = SoundDataset(str(tmp_path), max_length=640)
+    with _pytest.raises(ValueError, match="drop_last"):
+        next(data_loader(ds, batch_size=4))
