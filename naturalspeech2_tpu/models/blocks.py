@@ -160,7 +160,9 @@ class FeedForward(nn.Module):
         dim_inner = int(self.dim * self.mult * 2 / 3)
         x = nn.Dense(dim_inner * 2)(x)
         x, gate = jnp.split(x, 2, axis=-1)
-        x = nn.gelu(gate) * x
+        # exact (erf) gelu: torch F.gelu default — keeps numerical parity
+        # with the reference; cost is negligible in a matmul-bound model
+        x = nn.gelu(gate, approximate=False) * x
         if self.causal_conv:
             x = CausalConv1d(dim_inner, 3)(x)
         return nn.Dense(self.dim)(x)
