@@ -49,6 +49,11 @@ class Model(nn.Module):
     # fused WaveNet body (single Pallas kernel; stacked params). Set False
     # for the reference-structured per-block parameter layout.
     use_fused_wavenet: bool = True
+    # scan transformer layers (stacked params, program traced once) — needed
+    # for the dim512/depth12 scaled config's full sampling scan; remat adds
+    # per-layer rematerialization for training memory
+    scan_layers: bool = False
+    remat: bool = False
 
     @property
     def condition_dim_mult(self) -> int:
@@ -156,6 +161,8 @@ class Model(nn.Module):
             dim_cond_mult=self.condition_dim_mult,
             use_flash=self.use_flash_attn,
             cross_attn=self.condition_on_prompt,
+            scan_layers=self.scan_layers,
+            remat=self.remat,
             name="transformer",
         )(x, times=t, context=c, deterministic=deterministic)
 

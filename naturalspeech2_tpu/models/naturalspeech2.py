@@ -49,8 +49,9 @@ class NaturalSpeech2(nn.Module):
     codec: Optional[SoundStream] = None
     tokenizer: Optional[Any] = None  # host-side Tokenizer for List[str] text
     target_sample_hz: Optional[int] = None
-    calc_pitch_with_pyworld: bool = True  # API-parity knob (ref :1189); both
-    # paths resolve to ops.pitch (pyworld only if installed, else on-device)
+    calc_pitch_with_pyworld: bool = True  # API-parity knob (ref :1189):
+    # True → ACF estimator (pyworld-style), False → Kaldi-style NCCF+Viterbi
+    # (the reference's torchaudio compute_kaldi_pitch path, :124-130)
     timesteps: int = 1000
     use_ddim: bool = True
     noise_schedule: str = "sigmoid"
@@ -303,9 +304,24 @@ class NaturalSpeech2(nn.Module):
 
         if pitch is None:
             assert audio.ndim == 2
-            pitch = compute_pitch(
-                audio, sample_rate=self.sample_hz, hop_length=self.mel_hop_length
-            )[:, None, :]  # [b, 1, frames]
+            # backend selection mirrors the reference knob (:1189,1547):
+            # pyworld-style ACF estimator vs Kaldi-style NCCF+Viterbi
+            # (`compute_pitch_pytorch`'s torchaudio Kaldi path, :124-130)
+            if self.calc_pitch_with_pyworld:
+                pitch = compute_pitch(
+                    audio,
+                    sample_rate=self.sample_hz,
+                    hop_length=self.mel_hop_length,
+                )
+            else:
+                from naturalspeech2_tpu.ops.pitch import compute_pitch_nccf
+
+                pitch = compute_pitch_nccf(
+                    audio,
+                    sample_rate=self.sample_hz,
+                    hop_length=self.mel_hop_length,
+                )
+            pitch = pitch[:, None, :]  # [b, 1, frames]
 
         if mel is None:
             assert audio.ndim == 2

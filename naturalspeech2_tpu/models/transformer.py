@@ -124,11 +124,76 @@ class Transformer(nn.Module):
         return x
 
 
+class _CTLayer(nn.Module):
+    """One ConditionableTransformer layer, shaped for `nn.scan` over depth:
+    ``__call__(x, (ada, context)) -> (x, ())``. Adaptive γ/β arrive
+    precomputed per layer (the parent's stacked einsum), so scanning does
+    not change the parameter layout of the conditioning projections."""
+
+    dim: int
+    dim_head: int
+    heads: int
+    ff_mult: int
+    ff_causal_conv: bool
+    cond: bool
+    cross_attn: bool
+    use_flash: bool
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x, xs):
+        import math
+
+        from naturalspeech2_tpu.models.blocks import FeedForward, RMSNorm
+
+        ada, context = xs
+        scale = math.sqrt(self.dim)
+
+        def norm(h, idx, name):
+            if not self.cond:
+                return RMSNorm(self.dim, name=name)(h)
+            n = jnp.linalg.norm(h, axis=-1, keepdims=True)
+            h = h / jnp.maximum(n, 1e-12) * scale
+            gamma = ada[idx, :, None, : self.dim]
+            beta = ada[idx, :, None, self.dim :]
+            return h * gamma + beta
+
+        res = x
+        x = norm(x, 0, "attn_norm")
+        x = Attention(
+            dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+            use_flash=self.use_flash, name="attn",
+        )(x, deterministic=self.deterministic) + res
+
+        if self.cross_attn:
+            res = x
+            x = norm(x, 1, "cross_attn_norm")
+            x = Attention(
+                dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                use_flash=self.use_flash, name="cross_attn",
+            )(x, context=context, deterministic=self.deterministic) + res
+
+        res = x
+        x = norm(x, 2 if self.cross_attn else 1, "ff_norm")
+        x = FeedForward(
+            self.dim, mult=self.ff_mult, causal_conv=self.ff_causal_conv,
+            name="ff",
+        )(x) + res
+        return x, ()
+
+
 class ConditionableTransformer(nn.Module):
     """Adaptive-RMSNorm transformer with optional cross-attention (ref :748-809).
 
     Each layer: adaRMSNorm(t)→self-attn → [adaRMSNorm(t)→cross-attn(context)]
     → adaRMSNorm(t)→FF(causal-conv), all residual; head = RMSNorm + Dense.
+
+    ``scan_layers=True`` runs depth under one `nn.scan` (stacked per-layer
+    params, program traced once — required for the dim512/depth12 scaled
+    config whose unrolled 100-step sampling program overwhelms the compile
+    service); ``remat=True`` adds per-layer rematerialization for training
+    memory. Both are numerically identical to the unrolled path
+    (tests/test_scan_layers.py).
     """
 
     dim: int
@@ -140,6 +205,8 @@ class ConditionableTransformer(nn.Module):
     dim_cond_mult: Optional[int] = None
     cross_attn: bool = False
     use_flash: bool = False
+    scan_layers: bool = False
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -185,9 +252,15 @@ class ConditionableTransformer(nn.Module):
                 h = h / jnp.maximum(norm, 1e-12) * scale
                 return h * gammas[:, idx] + betas[:, idx]
         else:
+            ada = None
 
             def ada_norm(h, idx):
                 raise AssertionError("unconditional path uses RMSNorm modules")
+
+        if self.scan_layers:
+            x = self._scan_body(x, ada, context, deterministic, norms_per_layer)
+            x = RMSNorm(self.dim, name="pred_norm")(x)
+            return nn.Dense(self.dim, use_bias=False, name="to_pred")(x)
 
         def maybe_norm(h, name, idx):
             if cond:
@@ -227,3 +300,42 @@ class ConditionableTransformer(nn.Module):
 
         x = RMSNorm(self.dim, name="pred_norm")(x)
         return nn.Dense(self.dim, use_bias=False, name="to_pred")(x)
+
+    def _scan_body(self, x, ada, context, deterministic, norms_per_layer):
+        """Depth under one `nn.scan`; per-layer params stacked on axis 0."""
+        cond = ada is not None
+        if cond:
+            b = x.shape[0]
+            # [b, depth·npl, 2d] → [depth, npl, b, 2d] per-layer slices
+            ada_xs = ada.reshape(b, self.depth, norms_per_layer, -1)
+            ada_xs = jnp.moveaxis(ada_xs, 0, 2)
+        else:
+            ada_xs = jnp.zeros((self.depth, 1))
+        if context is None:
+            context = jnp.zeros((1,))  # scan xs cannot be None; unused
+
+        layer_cls = _CTLayer
+        if self.remat:
+            layer_cls = nn.remat(
+                layer_cls, prevent_cse=False, static_argnums=()
+            )
+        scan_cls = nn.scan(
+            layer_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=((0, nn.broadcast),),
+            length=self.depth,
+        )
+        x, _ = scan_cls(
+            dim=self.dim,
+            dim_head=self.dim_head,
+            heads=self.heads,
+            ff_mult=self.ff_mult,
+            ff_causal_conv=self.ff_causal_conv,
+            cond=cond,
+            cross_attn=self.cross_attn,
+            use_flash=self.use_flash,
+            deterministic=deterministic,
+            name="layers",
+        )(x, (ada_xs, context))
+        return x

@@ -13,8 +13,10 @@ Two paths with identical semantics:
 
 Masking follows the reference contract: ``mask`` is a boolean key-padding
 mask ``[b, kv_len]`` (True = attend); ``causal`` adds the upper-triangular
-mask. Dropout on attention probabilities is only applied on the xla path
-(the reference's flash path also delegates dropout to the fused kernel).
+mask. Dropout on attention probabilities runs inside whichever backend is
+active — in-kernel counter-based threefry on the flash path (the
+reference's flash path likewise delegates dropout to the fused SDPA
+kernel, attend.py:102-108).
 """
 
 from __future__ import annotations
@@ -89,18 +91,11 @@ def attend(
     """
     if backend == "auto":
         use_flash = (
-            dropout == 0.0
-            and q.shape[-2] >= 256
+            q.shape[-2] >= 256
             and k.shape[-2] >= 256
             and jax.default_backend() == "tpu"
         )
         backend = "flash" if use_flash else "xla"
-
-    if backend == "flash" and dropout > 0.0 and dropout_key is not None:
-        # attention-probability dropout isn't implemented in the Pallas
-        # kernel yet (ROADMAP); silently skipping it would change training
-        # semantics, so dropout-active steps use the XLA path.
-        backend = "xla"
 
     if backend == "flash":
         from naturalspeech2_tpu.ops.flash_attention import flash_attention
@@ -112,7 +107,13 @@ def attend(
         if k.shape[1] == 1 and q.shape[1] != 1:
             k = jnp.broadcast_to(k, (*k.shape[:1], q.shape[1], *k.shape[2:]))
             v = jnp.broadcast_to(v, (*v.shape[:1], q.shape[1], *v.shape[2:]))
-        return flash_attention(q, k, v, mask=mask, causal=causal, scale=scale)
+        # attention-probability dropout runs IN the kernel (counter-based
+        # threefry regenerated in the backward), so training keeps the
+        # flash path — no silent XLA reroute
+        return flash_attention(
+            q, k, v, mask=mask, causal=causal, scale=scale,
+            dropout=dropout, dropout_key=dropout_key,
+        )
 
     return attend_xla(
         q, k, v, mask=mask, causal=causal, scale=scale,

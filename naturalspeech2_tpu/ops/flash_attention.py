@@ -28,6 +28,66 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
+import numpy as np  # noqa: E402
+
+
+def _threefry2x32(k0, k1, x0, x1):
+    """Threefry-2x32-20 counter-based PRNG, elementwise on uint32 arrays.
+
+    Implemented with plain vector integer ops (add/xor/rotate) so it runs
+    identically inside a Pallas kernel on the TPU VPU and in interpret mode
+    on CPU — `pltpu.prng_seed` has no interpret lowering, and a
+    counter-based generator regenerates the same dropout mask in the
+    backward kernels with zero extra memory (the reference's SDPA dropout,
+    attend.py:102-108,148-149)."""
+    ROT = (13, 15, 26, 6, 17, 29, 16, 24)
+    k0 = jnp.asarray(k0, jnp.uint32)
+    k1 = jnp.asarray(k1, jnp.uint32)
+    x0 = jnp.asarray(x0, jnp.uint32)
+    x1 = jnp.asarray(x1, jnp.uint32)
+
+    def rotl(x, r):
+        return jax.lax.shift_left(x, np.uint32(r)) | jax.lax.shift_right_logical(
+            x, np.uint32(32 - r)
+        )
+
+    ks0, ks1 = k0, k1
+    ks2 = k0 ^ k1 ^ np.uint32(0x1BD11BDA)
+    x0 = x0 + ks0
+    x1 = x1 + ks1
+    subkeys = ((ks1, ks2), (ks2, ks0), (ks0, ks1), (ks1, ks2), (ks2, ks0))
+    for block in range(5):
+        rots = ROT[:4] if block % 2 == 0 else ROT[4:]
+        for r in rots:
+            x0 = x0 + x1
+            x1 = rotl(x1, r) ^ x0
+        a, b_ = subkeys[block]
+        x0 = x0 + a
+        x1 = x1 + b_ + np.uint32(block + 1)
+    return x0, x1
+
+
+def _dropout_keep_scaled(
+    seed_ref, b_idx, h_idx, row0, col0, shape, rate: float, n_total: int
+):
+    """[bq, bkv] keep/(1-rate) multiplier from per-position threefry bits.
+
+    Counter = global (row, col) position; key = (seed, b·H+h) — every
+    element of every (batch, head) tile gets an independent stream that the
+    backward kernels can regenerate exactly."""
+    rows = jnp.uint32(row0) + jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    cols = jnp.uint32(col0) + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x0 = rows * jnp.uint32(n_total) + cols
+    x1 = jnp.broadcast_to(
+        jnp.uint32(b_idx) * jnp.uint32(65536) + jnp.uint32(h_idx), shape
+    )
+    k0 = seed_ref[0, 0].astype(jnp.uint32)
+    k1 = seed_ref[0, 1].astype(jnp.uint32)
+    bits, _ = _threefry2x32(k0, k1, x0, x1)
+    thresh = np.uint32(min(int(rate * 4294967296.0), 4294967295))
+    keep = (bits >= thresh).astype(jnp.float32)
+    return keep * np.float32(1.0 / (1.0 - rate))
+
 # Tuned on v5e at (b4, h8, n1024, d64): 1024² blocks run 2.3× faster than
 # 256² (per-block overhead dominates at these head dims; the f32 logits tile
 # 1024×1024×4 B = 4 MB still fits VMEM beside q/k/v/acc).
@@ -36,9 +96,10 @@ DEFAULT_BLOCK_KV = 1024
 
 
 def _flash_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,  # blocks
+    q_ref, k_ref, v_ref, mask_ref, seed_ref, o_ref, lse_ref,  # blocks
     m_scratch, l_scratch, acc_scratch,  # VMEM carries across kv steps
     *, scale: float, causal: bool, block_q: int, block_kv: int,
+    dropout_rate: float, n_kv_total: int,
 ):
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -97,8 +158,21 @@ def _flash_kernel(
         m_scratch[:] = m_new
         l_scratch[:] = l_new
 
+        # torch-SDPA dropout semantics: the softmax normalizer (l) uses the
+        # undropped probabilities; only the values aggregation is dropped
+        # and rescaled (attend.py:148-153 — softmax → dropout → @v)
+        if dropout_rate > 0.0:
+            keep = _dropout_keep_scaled(
+                seed_ref, pl.program_id(0), pl.program_id(1),
+                i * block_q, j * block_kv, (block_q, block_kv),
+                dropout_rate, n_kv_total,
+            )
+            a = p * keep
+        else:
+            a = p
+
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            a.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bq, d] f32
         acc_scratch[:] = acc_scratch[:] * correction[:, :1] + pv
@@ -116,7 +190,8 @@ def _flash_kernel(
 
 
 def _flash_forward(
-    q, k, v, mask, *, causal: bool, scale: float,
+    q, k, v, mask, seed=None, *, causal: bool, scale: float,
+    dropout_rate: float = 0.0,
     block_q: int = DEFAULT_BLOCK_Q, block_kv: int = DEFAULT_BLOCK_KV,
 ):
     b, h, n_q, d = q.shape
@@ -147,11 +222,14 @@ def _flash_forward(
     # mask as int8 with a singleton sublane dim — bool/1-sublane blocks don't
     # satisfy TPU (8, 128) tiling; (1, block_kv) with leading size-1 dim does.
     mask = mask.astype(jnp.int8)[:, None, :]
+    if seed is None:
+        seed = jnp.zeros((1, 2), jnp.uint32)
 
     out = pl.pallas_call(
         functools.partial(
             _flash_kernel,
             scale=scale, causal=causal, block_q=block_q, block_kv=block_kv,
+            dropout_rate=dropout_rate, n_kv_total=n_kvp,
         ),
         grid=grid,
         in_specs=[
@@ -165,6 +243,7 @@ def _flash_forward(
                 (1, 1, block_kv, dp), lambda b_, h_, i, j: (b_, h_, j, 0),
             ),
             pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j)),
+            pl.BlockSpec((1, 2), lambda b_, h_, i, j: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -187,7 +266,7 @@ def _flash_forward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(q, k, v, mask)
+    )(q, k, v, mask, seed)
 
     out, lse = out
     return out[:, :, :n_q, :d], lse  # lse stays padded [bp, hp, n_qp, 1]
@@ -201,9 +280,10 @@ def _flash_forward(
 
 
 def _flash_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, mask_ref, lse_ref, delta_ref, do_ref, dq_ref,
-    dq_scratch,
+    q_ref, k_ref, v_ref, mask_ref, seed_ref, lse_ref, delta_ref, do_ref,
+    dq_ref, dq_scratch,
     *, scale: float, causal: bool, block_q: int, block_kv: int,
+    dropout_rate: float, n_kv_total: int,
 ):
     i = pl.program_id(2)
     j = pl.program_id(3)
@@ -248,6 +328,15 @@ def _flash_bwd_dq_kernel(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [bq, bkv]
+        # regenerate the forward's dropout mask: out = (p∘keep)@v, so
+        # d s = p∘(keep∘(dO·vᵀ) − δ)·scale with δ = Σ_d dO·out unchanged
+        if dropout_rate > 0.0:
+            keep = _dropout_keep_scaled(
+                seed_ref, pl.program_id(0), pl.program_id(1),
+                i * block_q, j * block_kv, (block_q, block_kv),
+                dropout_rate, n_kv_total,
+            )
+            dp = dp * keep
         ds = p * (dp - delta) * scale
         dq_scratch[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -260,9 +349,10 @@ def _flash_bwd_dq_kernel(
 
 
 def _flash_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, mask_ref, lse_ref, delta_ref, do_ref,
+    q_ref, k_ref, v_ref, mask_ref, seed_ref, lse_ref, delta_ref, do_ref,
     dk_ref, dv_ref, dk_scratch, dv_scratch,
     *, scale: float, causal: bool, block_q: int, block_kv: int,
+    dropout_rate: float, n_kv_total: int,
 ):
     j = pl.program_id(2)  # kv block
     i = pl.program_id(3)  # q block (innermost)
@@ -302,14 +392,26 @@ def _flash_bwd_dkv_kernel(
             valid = valid & (row >= col)
 
         p = jnp.where(valid, jnp.exp(s - lse), 0.0)  # [bq, bkv]
+        if dropout_rate > 0.0:
+            keep = _dropout_keep_scaled(
+                seed_ref, pl.program_id(0), pl.program_id(1),
+                i * block_q, j * block_kv, (block_q, block_kv),
+                dropout_rate, n_kv_total,
+            )
+            a = p * keep  # dropped+scaled probs: out = a@v ⇒ dv = aᵀ@dO
+        else:
+            keep = None
+            a = p
         dv_scratch[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            a.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # pᵀ @ dO → [bkv, d]
+        )  # aᵀ @ dO → [bkv, d]
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if keep is not None:
+            dp = dp * keep
         ds = p * (dp - delta) * scale  # [bq, bkv]
         dk_scratch[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -323,7 +425,8 @@ def _flash_bwd_dkv_kernel(
 
 
 def _flash_backward(
-    q, k, v, mask, lse, out, do, *, causal: bool, scale: float,
+    q, k, v, mask, seed, lse, out, do, *, causal: bool, scale: float,
+    dropout_rate: float = 0.0,
     block_q: int = DEFAULT_BLOCK_Q, block_kv: int = DEFAULT_BLOCK_KV,
 ):
     b, h, n_q, d = q.shape
@@ -348,20 +451,29 @@ def _flash_backward(
     bp, hp, n_qp, dp = q.shape
     n_kvp = k.shape[2]
     mask8 = mask.astype(jnp.int8)[:, None, :]
+    if seed is None:
+        seed = jnp.zeros((1, 2), jnp.uint32)
     delta = jnp.sum(
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
     )  # [b, h, n_qp, 1]
 
-    kwargs = dict(scale=scale, causal=causal, block_q=block_q, block_kv=block_kv)
+    kwargs = dict(
+        scale=scale, causal=causal, block_q=block_q, block_kv=block_kv,
+        dropout_rate=dropout_rate, n_kv_total=n_kvp,
+    )
     q_spec = pl.BlockSpec((1, 1, block_q, dp), lambda b_, h_, i, j: (b_, h_, i, 0))
     kv_spec = pl.BlockSpec((1, 1, block_kv, dp), lambda b_, h_, i, j: (b_, h_, j, 0))
     mask_spec = pl.BlockSpec((1, 1, block_kv), lambda b_, h_, i, j: (b_, 0, j))
+    seed_spec = pl.BlockSpec((1, 2), lambda b_, h_, i, j: (0, 0))
     row_spec = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i, j: (b_, h_, i, 0))
 
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, **kwargs),
         grid=(bp, hp, n_qp // block_q, n_kvp // block_kv),
-        in_specs=[q_spec, kv_spec, kv_spec, mask_spec, row_spec, row_spec, q_spec],
+        in_specs=[
+            q_spec, kv_spec, kv_spec, mask_spec, seed_spec, row_spec,
+            row_spec, q_spec,
+        ],
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, dp), jnp.float32)],
@@ -369,20 +481,21 @@ def _flash_backward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(q, k, v, mask8, lse, delta, do)
+    )(q, k, v, mask8, seed, lse, delta, do)
 
     # dkv grid: kv blocks outer, q blocks innermost (sequential accumulation)
     q_spec_t = pl.BlockSpec((1, 1, block_q, dp), lambda b_, h_, j, i: (b_, h_, i, 0))
     kv_spec_t = pl.BlockSpec((1, 1, block_kv, dp), lambda b_, h_, j, i: (b_, h_, j, 0))
     mask_spec_t = pl.BlockSpec((1, 1, block_kv), lambda b_, h_, j, i: (b_, 0, j))
+    seed_spec_t = pl.BlockSpec((1, 2), lambda b_, h_, j, i: (0, 0))
     row_spec_t = pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, j, i: (b_, h_, i, 0))
 
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, **kwargs),
         grid=(bp, hp, n_kvp // block_kv, n_qp // block_q),
         in_specs=[
-            q_spec_t, kv_spec_t, kv_spec_t, mask_spec_t, row_spec_t,
-            row_spec_t, q_spec_t,
+            q_spec_t, kv_spec_t, kv_spec_t, mask_spec_t, seed_spec_t,
+            row_spec_t, row_spec_t, q_spec_t,
         ],
         out_specs=[kv_spec_t, kv_spec_t],
         out_shape=[
@@ -397,7 +510,7 @@ def _flash_backward(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=jax.default_backend() != "tpu",
-    )(q, k, v, mask8, lse, delta, do)
+    )(q, k, v, mask8, seed, lse, delta, do)
 
     return (
         dq[:, :, :n_q, :d],
@@ -406,23 +519,30 @@ def _flash_backward(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _flash(q, k, v, mask, causal, scale):
-    out, _ = _flash_forward(q, k, v, mask, causal=causal, scale=scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash(q, k, v, mask, seed, causal, scale, dropout_rate):
+    out, _ = _flash_forward(
+        q, k, v, mask, seed, causal=causal, scale=scale,
+        dropout_rate=dropout_rate,
+    )
     return out
 
 
-def _flash_fwd(q, k, v, mask, causal, scale):
-    out, lse = _flash_forward(q, k, v, mask, causal=causal, scale=scale)
-    return out, (q, k, v, mask, lse, out)
-
-
-def _flash_bwd(causal, scale, residuals, g):
-    q, k, v, mask, lse, out = residuals
-    dq, dk, dv = _flash_backward(
-        q, k, v, mask, lse, out, g, causal=causal, scale=scale
+def _flash_fwd(q, k, v, mask, seed, causal, scale, dropout_rate):
+    out, lse = _flash_forward(
+        q, k, v, mask, seed, causal=causal, scale=scale,
+        dropout_rate=dropout_rate,
     )
-    return dq, dk, dv, None
+    return out, (q, k, v, mask, seed, lse, out)
+
+
+def _flash_bwd(causal, scale, dropout_rate, residuals, g):
+    q, k, v, mask, seed, lse, out = residuals
+    dq, dk, dv = _flash_backward(
+        q, k, v, mask, seed, lse, out, g, causal=causal, scale=scale,
+        dropout_rate=dropout_rate,
+    )
+    return dq, dk, dv, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -436,9 +556,16 @@ def flash_attention(
     mask: Optional[jax.Array] = None,
     causal: bool = False,
     scale: Optional[float] = None,
+    dropout: float = 0.0,
+    dropout_key: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Flash attention over ``[b, h, n, d]`` with optional ``[b, n_kv]``
-    key-padding mask and causal masking."""
+    key-padding mask, causal masking and in-kernel attention dropout
+    (counter-based threefry regenerated in the backward — no O(n²) mask)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash(q, k, v, mask, causal, float(scale))
+    seed = None
+    if dropout > 0.0:
+        assert dropout_key is not None, "dropout requires dropout_key"
+        seed = jax.random.bits(dropout_key, (1, 2), jnp.uint32)
+    return _flash(q, k, v, mask, seed, causal, float(scale), float(dropout))

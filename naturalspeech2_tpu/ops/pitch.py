@@ -98,6 +98,118 @@ def compute_pitch(
     return f0
 
 
+def compute_pitch_nccf(
+    audio: jax.Array,
+    *,
+    sample_rate: int,
+    hop_length: int,
+    f0_floor: float = 50.0,
+    f0_ceil: float = 640.0,
+    voicing_threshold: float = 0.3,
+    transition_weight: float = 0.4,
+) -> jax.Array:
+    """Kaldi-style pitch tracker: NCCF candidates + Viterbi lag tracking.
+
+    Second, independent backend mirroring the reference's torchaudio
+    Kaldi-pitch path (`compute_pitch_pytorch`,
+    `/root/reference/naturalspeech2_pytorch/naturalspeech2_pytorch.py:124-130`;
+    algorithm of Ghahremani et al. 2014). Differs from `compute_pitch`
+    (plain ACF) in two substantive ways:
+
+    - **NCCF normalization**: each lag is normalized by √(E₀·E_τ) — the
+      energy of *both* windows — instead of the frame energy, which keeps
+      candidate scores comparable across lags in non-stationary frames;
+    - **Viterbi smoothing**: the per-frame lag is chosen jointly over the
+      whole utterance with an |log(τ/τ′)| transition penalty (`lax.scan`
+      forward + reverse backtrack), suppressing the octave jumps a greedy
+      per-frame argmax is prone to.
+
+    audio ``[b, T]`` → f0 ``[b, T//hop + 1]`` in Hz (0 = unvoiced).
+    """
+    b, t = audio.shape
+    max_lag = int(np.ceil(sample_rate / f0_floor))
+    min_lag = max(2, int(np.floor(sample_rate / f0_ceil)))
+    n_lags = max_lag - min_lag + 1
+    window = max(2 * min_lag, max_lag)  # correlation window per frame
+    frame_length = window + max_lag
+
+    pad = frame_length // 2
+    x = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")
+    n_frames = t // hop_length + 1
+    idx = (
+        jnp.arange(n_frames)[:, None] * hop_length
+        + jnp.arange(frame_length)[None, :]
+    )
+    frames = x[:, idx]  # [b, F, frame_length]
+    frames = frames - frames.mean(axis=-1, keepdims=True)
+
+    # numerator[τ] = Σ_{t<window} x[t]·x[t+τ]: cross-correlate the leading
+    # window against the whole frame via FFT
+    n_fft = 1 << int(np.ceil(np.log2(2 * frame_length)))
+    head = frames * (jnp.arange(frame_length) < window)[None, None, :]
+    spec_h = jnp.fft.rfft(head, n=n_fft, axis=-1)
+    spec_f = jnp.fft.rfft(frames, n=n_fft, axis=-1)
+    corr = jnp.fft.irfft(jnp.conj(spec_h) * spec_f, n=n_fft, axis=-1)
+    num = corr[..., min_lag : max_lag + 1]  # [b, F, n_lags]
+
+    # per-lag energies via sliding window over cumulative x²
+    csum = jnp.cumsum(
+        jnp.pad(frames**2, ((0, 0), (0, 0), (1, 0))), axis=-1
+    )  # [b, F, frame_length+1]
+    e0 = csum[..., window] - csum[..., 0]  # [b, F]
+    lag_idx = jnp.arange(min_lag, max_lag + 1)
+    e_tau = (
+        jnp.take(csum, lag_idx + window, axis=-1)
+        - jnp.take(csum, lag_idx, axis=-1)
+    )  # [b, F, n_lags]
+    nccf = num / jnp.sqrt(jnp.maximum(e0[..., None] * e_tau, 1e-12))
+
+    # Viterbi over lags: score maximization with log-lag transition penalty
+    lags_f = lag_idx.astype(jnp.float32)
+    trans = -transition_weight * jnp.abs(
+        jnp.log(lags_f[:, None] / lags_f[None, :])
+    )  # [n_lags, n_lags], 0 on the diagonal
+
+    def viterbi_step(score, obs):
+        # score [b, n_lags]; obs [b, n_lags]
+        cand = score[:, :, None] + trans[None]  # [b, from, to]
+        best_prev = jnp.argmax(cand, axis=1)  # [b, to]
+        new = jnp.max(cand, axis=1) + obs
+        return new, best_prev
+
+    obs_seq = jnp.moveaxis(nccf, 1, 0)  # [F, b, n_lags]
+    final, back = jax.lax.scan(viterbi_step, obs_seq[0], obs_seq[1:])
+
+    last = jnp.argmax(final, axis=-1)  # [b]
+
+    def backtrack_step(state, bp):
+        return jnp.take_along_axis(bp, state[:, None], axis=1)[:, 0], state
+
+    _, path_rev = jax.lax.scan(backtrack_step, last, back, reverse=True)
+    path = jnp.concatenate([path_rev, last[None]], axis=0)  # [F, b]
+    path = jnp.moveaxis(path, 0, 1)  # [b, F]
+
+    best_nccf = jnp.take_along_axis(nccf, path[..., None], axis=-1)[..., 0]
+
+    # parabolic refinement around the tracked lag
+    left = jnp.take_along_axis(
+        nccf, jnp.maximum(path - 1, 0)[..., None], -1
+    )[..., 0]
+    right = jnp.take_along_axis(
+        nccf, jnp.minimum(path + 1, n_lags - 1)[..., None], -1
+    )[..., 0]
+    denom = left - 2 * best_nccf + right
+    delta = jnp.where(jnp.abs(denom) > 1e-8, 0.5 * (left - right) / denom, 0.0)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    refined = path.astype(jnp.float32) + min_lag + delta
+
+    f0 = sample_rate / jnp.maximum(refined, 1.0)
+    voiced = (
+        (best_nccf > voicing_threshold) & (f0 >= f0_floor) & (f0 <= f0_ceil)
+    )
+    return jnp.where(voiced, f0, 0.0)
+
+
 def compute_pitch_pyworld(
     wav,
     sample_rate: int,

@@ -37,12 +37,21 @@ def wavenet_body_xla(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
 
     x: [b, n, d]; conv_w: [S, L, 3d, d]; conv_b/res_b: [S, L, d];
     res_w: [S, L, d, d]; skip_w: [L, d, d]; skip_b: [L, d];
-    film: [b, S, L, 2d]. Returns the summed skips [b, n, d]."""
+    film: [b, S, L, 2d]. Returns the summed skips [b, n, d].
+
+    Stacks run under `lax.scan` (one stack's program traced once instead of
+    S×), which keeps the compiled program small enough for the scaled
+    configs' 100-step sampling scans; the L inner blocks stay unrolled
+    because each has a static dilation 2^l. Skip convs apply to the LAST
+    stack's lane outputs only (ref :685-686,:725), so they run after the
+    scan."""
     b, n, d = x.shape
     S, L = conv_w.shape[:2]
-    lanes = [x] * L
-    skip = jnp.zeros_like(x)
-    for s in range(S):
+    lanes0 = jnp.broadcast_to(x, (L, b, n, d))
+    film_s = jnp.moveaxis(film, 1, 0)  # [S, b, L, 2d]
+
+    def stack_step(lanes, ws):
+        cw, cb, rw, rb, f = ws
         new = []
         for l in range(L):
             xin = lanes[l]
@@ -50,17 +59,16 @@ def wavenet_body_xla(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
             x1 = jnp.pad(xin, ((0, 0), (dil, 0), (0, 0)))[:, :n]
             x2 = jnp.pad(xin, ((0, 0), (2 * dil, 0), (0, 0)))[:, :n]
             cat = jnp.concatenate([x2, x1, xin], axis=-1)  # [b, n, 3d]
-            y = cat @ conv_w[s, l] + conv_b[s, l]
-            g = film[:, s, l, :d][:, None]
-            beta = film[:, s, l, d:][:, None]
-            y = y * g + beta
+            y = cat @ cw[l] + cb[l]
+            y = y * f[:, l, :d][:, None] + f[:, l, d:][:, None]
             y = jnp.tanh(y) * jax.nn.sigmoid(y)
-            out = y + (xin @ res_w[s, l] + res_b[s, l])
-            new.append(out)
-            if s == S - 1:
-                skip = skip + out @ skip_w[l] + skip_b[l]
-        lanes = new
-    return skip
+            new.append(y + (xin @ rw[l] + rb[l]))
+        return jnp.stack(new), ()
+
+    lanes, _ = jax.lax.scan(
+        stack_step, lanes0, (conv_w, conv_b, res_w, res_b, film_s)
+    )
+    return sum(lanes[l] @ skip_w[l] + skip_b[l] for l in range(L))
 
 
 def _wavenet_kernel(
@@ -147,14 +155,43 @@ def _fused_forward(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
     )(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
 
 
+# ~16 MB VMEM per core on v5e; leave headroom for weights + x/out blocks.
+VMEM_SCRATCH_LIMIT_BYTES = 10 * 2**20
+
+
+def _kernel_vmem_bytes(n: int, d: int, L: int) -> int:
+    """f32 scratch footprint: lanes [L, n, d] + skip [n, d] + per-stack
+    weights (conv [L, 3d, d] + res [L, d, d] + skip_w [L, d, d])."""
+    scratch = (L * n * d + n * d) * 4
+    weights = L * (3 * d * d + d * d + d * d) * 4
+    return scratch + weights
+
+
 @jax.custom_vjp
 def fused_wavenet_body(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
-    """Pallas-fused WaveNet body; see module docstring for shapes."""
+    """Pallas-fused WaveNet body; see module docstring for shapes.
+
+    Shapes whose lane scratch would blow the VMEM budget (e.g. dim 512 ×
+    n 1024 → 16.8 MB, or the 60-s n=4500 long-form config → 18.4 MB)
+    auto-route to the numerically-identical XLA twin instead of spilling
+    or failing to compile."""
+    return _forward_dispatch(
+        x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film
+    )
+
+
+def _forward_dispatch(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
+    b, n, d = x.shape
+    L = conv_w.shape[1]
+    if _kernel_vmem_bytes(n, d, L) > VMEM_SCRATCH_LIMIT_BYTES:
+        return wavenet_body_xla(
+            x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film
+        )
     return _fused_forward(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
 
 
 def _fwd(*args):
-    return _fused_forward(*args), args
+    return _forward_dispatch(*args), args
 
 
 def _bwd(residuals, g):

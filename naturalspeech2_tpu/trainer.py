@@ -128,6 +128,8 @@ class Trainer:
 
         self._jit_train_step = None
         self.state: Optional[TrainState] = None
+        # held-back (prompt, text) pair for conditional milestone sampling
+        self._holdback: Optional[dict] = None
 
     # ------------------------------------------------------------------ #
 
@@ -330,6 +332,18 @@ class Trainer:
         import time as _time
 
         batch = next(self.batches)
+        if (
+            self.ns2.conditional
+            and self._holdback is None
+            and isinstance(batch, dict)
+            and "text" in batch
+            and "prompt" in batch
+        ):
+            self._holdback = {
+                k: np.asarray(batch[k][:1])
+                for k in ("text", "text_lens", "prompt")
+                if k in batch
+            }
         if self.state is None:
             self.init_state(batch)
             # elastic restart: resume from the newest checkpoint if present.
@@ -415,11 +429,29 @@ class Trainer:
                 length=self.sample_length,
                 batch_size=1,
             )
-            write_wav(
-                self.results_folder / f"sample-{milestone}.wav",
-                np.asarray(audio[0]),
-                self.ns2.sample_hz,
+        elif self._holdback is not None:
+            # conditional periodic sampling: generate the held-back
+            # (prompt, text) pair — the capability the reference *intends*
+            # (naturalspeech2_pytorch.py:1915-1918) but crashes on because it
+            # calls sample() without text/prompt
+            hb = self._holdback
+            audio = sample(
+                self.ns2,
+                {"params": self.state.ema_params},
+                jax.random.PRNGKey(int(milestone)),
+                length=self.sample_length,
+                prompt=jnp.asarray(hb["prompt"]),
+                text=jnp.asarray(hb["text"]),
+                text_lens=jnp.asarray(hb["text_lens"])
+                if "text_lens" in hb
+                else None,
             )
-        # conditional sampling needs prompt+text — the reference crashes here
-        # (SURVEY.md §7 known defects); we skip generation instead.
+        else:
+            self.save(milestone)
+            return
+        write_wav(
+            self.results_folder / f"sample-{milestone}.wav",
+            np.asarray(audio[0]),
+            self.ns2.sample_hz,
+        )
         self.save(milestone)

@@ -189,3 +189,95 @@ def test_pitch_vibrato_tracks():
     voiced = f0[0][f0[0] > 0]
     assert voiced.min() > 200 and voiced.max() < 240
     assert voiced.max() - voiced.min() > 10  # actually follows the vibrato
+
+
+# --------------------- second backend: NCCF + Viterbi ------------------ #
+
+
+def test_nccf_detects_sine():
+    from naturalspeech2_tpu.ops.pitch import compute_pitch_nccf
+
+    sr, hop = 24000, 160
+    t = np.arange(sr) / sr
+    for freq in [110.0, 220.0, 440.0]:
+        audio = jnp.asarray(np.sin(2 * np.pi * freq * t)[None, :], jnp.float32)
+        f0 = np.asarray(compute_pitch_nccf(audio, sample_rate=sr, hop_length=hop))
+        assert f0.shape == (1, sr // hop + 1)
+        voiced = f0[f0 > 0]
+        assert len(voiced) > 0.8 * f0.shape[1]
+        assert abs(np.median(voiced) - freq) / freq < 0.02, (freq, np.median(voiced))
+
+
+def test_nccf_silence_unvoiced():
+    from naturalspeech2_tpu.ops.pitch import compute_pitch_nccf
+
+    f0 = np.asarray(compute_pitch_nccf(
+        jnp.zeros((1, 24000), jnp.float32), sample_rate=24000, hop_length=160
+    ))
+    assert (f0 == 0).all()
+
+
+def test_nccf_noisy_sine():
+    """Viterbi lag tracking holds up on a noisy tone."""
+    from naturalspeech2_tpu.ops.pitch import compute_pitch_nccf
+
+    sr, hop, freq = 24000, 160, 220.0
+    rng = np.random.RandomState(0)
+    t = np.arange(sr) / sr
+    noisy = np.sin(2 * np.pi * freq * t) + 0.3 * rng.randn(sr)
+    f0 = np.asarray(compute_pitch_nccf(
+        jnp.asarray(noisy[None, :], jnp.float32), sample_rate=sr, hop_length=hop
+    ))
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 0.6 * f0.shape[1]
+    assert abs(np.median(voiced) - freq) / freq < 0.03
+
+
+def test_nccf_vibrato_tracks():
+    from naturalspeech2_tpu.ops.pitch import compute_pitch_nccf
+
+    sr, hop = 24000, 160
+    t = np.arange(sr) / sr
+    inst_freq = 220.0 * (1 + 0.05 * np.sin(2 * np.pi * 4.0 * t))
+    phase = 2 * np.pi * np.cumsum(inst_freq) / sr
+    audio = jnp.asarray(np.sin(phase)[None, :], jnp.float32)
+    f0 = np.asarray(compute_pitch_nccf(audio, sample_rate=sr, hop_length=hop))
+    voiced = f0[0][f0[0] > 0]
+    assert voiced.min() > 200 and voiced.max() < 240
+    assert voiced.max() - voiced.min() > 10
+
+
+def test_nccf_viterbi_suppresses_octave_jumps():
+    """A tone whose 2nd harmonic dominates briefly trips a greedy per-frame
+    argmax into octave errors; the Viterbi transition penalty should keep
+    the track continuous."""
+    from naturalspeech2_tpu.ops.pitch import compute_pitch_nccf
+
+    sr, hop, f = 24000, 160, 150.0
+    t = np.arange(sr) / sr
+    amp2 = 0.2 + 0.75 * (np.sin(2 * np.pi * 2.0 * t) > 0)  # harmonic bursts
+    audio = np.sin(2 * np.pi * f * t) + amp2 * np.sin(2 * np.pi * 2 * f * t)
+    f0 = np.asarray(compute_pitch_nccf(
+        jnp.asarray(audio[None, :], jnp.float32), sample_rate=sr, hop_length=hop
+    ))
+    voiced = f0[0][f0[0] > 0]
+    # no frame should sit at the octave (300 Hz)
+    octave_frames = np.sum(np.abs(voiced - 2 * f) / (2 * f) < 0.05)
+    assert octave_frames <= 0.05 * len(voiced), octave_frames
+    assert abs(np.median(voiced) - f) / f < 0.03
+
+
+def test_backends_are_independent():
+    """The two backends are distinct estimators, not aliases: they agree on
+    the pitch of a clean tone but produce different raw tracks."""
+    from naturalspeech2_tpu.ops.pitch import compute_pitch_nccf
+
+    sr, hop, freq = 24000, 160, 220.0
+    rng = np.random.RandomState(1)
+    t = np.arange(sr) / sr
+    noisy = np.sin(2 * np.pi * freq * t) + 0.2 * rng.randn(sr)
+    audio = jnp.asarray(noisy[None, :], jnp.float32)
+    a = np.asarray(compute_pitch(audio, sample_rate=sr, hop_length=hop))
+    b = np.asarray(compute_pitch_nccf(audio, sample_rate=sr, hop_length=hop))
+    assert abs(np.median(a[a > 0]) - np.median(b[b > 0])) / freq < 0.03
+    assert not np.allclose(a, b)  # genuinely different estimators

@@ -211,3 +211,104 @@ def test_flash_partial_row_mask_grad_no_leak():
     dk, dv = jax.grad(loss, argnums=(0, 1))(k, v)
     assert float(jnp.abs(dk[0, :, 70:]).max()) == 0.0
     assert float(jnp.abs(dv[0, :, 70:]).max()) == 0.0
+
+
+# ------------------------- in-kernel dropout --------------------------- #
+
+
+def test_flash_dropout_zero_rate_identical():
+    key = jax.random.PRNGKey(3)
+    q = jax.random.normal(key, (1, 2, 128, 32))
+    a = flash_attention(q, q, q)
+    b = flash_attention(q, q, q, dropout=0.0, dropout_key=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flash_dropout_deterministic_per_key():
+    key = jax.random.PRNGKey(4)
+    q = jax.random.normal(key, (1, 2, 128, 32))
+    a = flash_attention(q, q, q, dropout=0.3, dropout_key=jax.random.PRNGKey(5))
+    b = flash_attention(q, q, q, dropout=0.3, dropout_key=jax.random.PRNGKey(5))
+    c = flash_attention(q, q, q, dropout=0.3, dropout_key=jax.random.PRNGKey(6))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(c))
+
+
+def test_flash_dropout_unbiased():
+    """E[dropout attention] == no-dropout attention (keep/(1−r) scaling)."""
+    key = jax.random.PRNGKey(8)
+    q = jax.random.normal(key, (1, 1, 128, 32))
+    base = np.asarray(flash_attention(q, q, q))
+    acc = np.zeros_like(base)
+    n_trials = 64
+    for i in range(n_trials):
+        acc += np.asarray(
+            flash_attention(
+                q, q, q, dropout=0.25, dropout_key=jax.random.PRNGKey(100 + i)
+            )
+        )
+    mean = acc / n_trials
+    # standard error scales with 1/sqrt(trials); loose bound on the mean
+    assert np.abs(mean - base).mean() < 0.05, np.abs(mean - base).mean()
+
+
+def test_flash_dropout_grad_finite_difference():
+    """With a fixed seed the dropped kernel is a deterministic function —
+    its custom_vjp must match finite differences (verifies the backward
+    regenerates the identical mask)."""
+    key = jax.random.PRNGKey(9)
+    q = jax.random.normal(key, (1, 1, 128, 32))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 1, 128, 32))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 1, 128, 32))
+    dk_key = jax.random.PRNGKey(10)
+    w = jax.random.normal(jax.random.fold_in(key, 3), (1, 1, 128, 32))
+
+    def f(q_, k_, v_):
+        out = flash_attention(q_, k_, v_, dropout=0.3, dropout_key=dk_key)
+        return jnp.sum(out * w)
+
+    grads = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    eps = 1e-3
+    rng = np.random.RandomState(0)
+    for argi, (arr, g) in enumerate(zip((q, k, v), grads)):
+        for _ in range(3):
+            idx = tuple(rng.randint(s) for s in arr.shape)
+            pert = np.zeros(arr.shape, np.float32)
+            pert[idx] = eps
+            args_p = [q, k, v]
+            args_m = [q, k, v]
+            args_p[argi] = arr + pert
+            args_m[argi] = arr - pert
+            fd = (float(f(*args_p)) - float(f(*args_m))) / (2 * eps)
+            an = float(np.asarray(g)[idx])
+            assert abs(fd - an) < 2e-2 + 0.05 * abs(fd), (argi, idx, fd, an)
+
+
+def test_flash_dropout_respects_mask():
+    """Dropout must not resurrect masked keys: perturbing masked v stays
+    invisible under dropout."""
+    key = jax.random.PRNGKey(11)
+    q = jax.random.normal(key, (1, 1, 128, 32))
+    v = jax.random.normal(jax.random.fold_in(key, 1), (1, 1, 128, 32))
+    mask = jnp.arange(128)[None, :] < 70
+    dk_key = jax.random.PRNGKey(12)
+    out1 = flash_attention(q, q, v, mask=mask, dropout=0.3, dropout_key=dk_key)
+    v2 = v.at[0, :, 70:].set(55.0)
+    out2 = flash_attention(q, q, v2, mask=mask, dropout=0.3, dropout_key=dk_key)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_threefry_uniformity():
+    """The in-kernel counter-based generator produces roughly uniform bits."""
+    from naturalspeech2_tpu.ops.flash_attention import _threefry2x32
+
+    x0 = jnp.arange(1 << 14, dtype=jnp.uint32).reshape(128, 128)
+    x1 = jnp.zeros((128, 128), jnp.uint32)
+    bits, _ = _threefry2x32(jnp.uint32(123), jnp.uint32(456), x0, x1)
+    u = np.asarray(bits).astype(np.float64) / 2**32
+    assert abs(u.mean() - 0.5) < 0.01
+    assert abs(u.std() - (1 / 12) ** 0.5) < 0.01
+    # consecutive counters decorrelated
+    flat = u.ravel()
+    corr = np.corrcoef(flat[:-1], flat[1:])[0, 1]
+    assert abs(corr) < 0.05

@@ -113,3 +113,28 @@ def test_fused_module_causal():
     np.testing.assert_allclose(
         np.asarray(out1[:, :40]), np.asarray(out2[:, :40]), atol=1e-4
     )
+
+
+def test_vmem_guard_routes_to_xla_twin(monkeypatch):
+    """Shapes over the VMEM budget must auto-route to the XLA twin (same
+    numbers, no Pallas launch) instead of spilling/failing at scale."""
+    import naturalspeech2_tpu.ops.wavenet_kernel as wk
+
+    w = _weights()
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, N, D))
+    args = (x, w["conv_w"], w["conv_b"], w["res_w"], w["res_b"],
+            w["skip_w"], w["skip_b"], w["film"])
+    full = wk.fused_wavenet_body(*args)
+
+    called = {"pallas": 0}
+    orig = wk._fused_forward
+
+    def spy(*a):
+        called["pallas"] += 1
+        return orig(*a)
+
+    monkeypatch.setattr(wk, "_fused_forward", spy)
+    monkeypatch.setattr(wk, "VMEM_SCRATCH_LIMIT_BYTES", 1)
+    routed = wk.fused_wavenet_body(*args)
+    assert called["pallas"] == 0, "guard did not route to the XLA twin"
+    np.testing.assert_allclose(np.asarray(routed), np.asarray(full), atol=1e-5)
