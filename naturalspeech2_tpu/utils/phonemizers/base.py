@@ -72,8 +72,3 @@ class BasePhonemizer(abc.ABC):
         segments, puncs = self._phonemize_preprocess(text)
         phonemized = [self._phonemize(seg, separator) for seg in segments]
         return self._phonemize_postprocess(phonemized, puncs)
-
-    def print_logs(self, level: int = 0):
-        indent = "\t" * level
-        print(f"{indent}| > phoneme language: {self.language}")
-        print(f"{indent}| > phoneme backend: {self.name()}")

@@ -2,9 +2,18 @@
 
 The reference delegates G2P entirely to the external espeak binary
 (`espeak_wrapper.py`); when no such binary exists on the host, this module
-provides an approximate English grapheme→IPA conversion (common-word lexicon
-+ digraph/letter-to-sound rules) so the full text→audio pipeline remains
-functional. Output is restricted to the tokenizer's IPA vocabulary. For
+provides an approximate English grapheme→IPA conversion so the full
+text→audio pipeline remains functional:
+
+- a ~400-word GenAm lexicon covering function words, auxiliaries, numbers
+  (including every word the `NumberNormalizer` can emit — twenty, thirty,
+  hundred, thousand, million, …), days, months and frequent content words;
+- suffix morphology: ``-s/-es`` (voicing-sensitive), ``-ed`` (t/d/ɪd),
+  ``-ing``, ``-ly``, ``-er``, ``-est``, ``-ness``, ``-ment``, ``-ful``
+  recurse on the stem so inflected forms reuse lexicon entries;
+- letter-to-sound rules with magic-e vowel lengthening ("make" → meɪk).
+
+Output is restricted to the tokenizer's IPA vocabulary. For
 production-quality phonemization, install espeak-ng.
 """
 
@@ -16,25 +25,161 @@ from typing import Dict
 from naturalspeech2_tpu.utils.phonemizers.base import BasePhonemizer
 from naturalspeech2_tpu.utils.phonemizers.punctuation import Punctuation
 
-# small lexicon of very common English words (GenAm IPA)
+# GenAm IPA lexicon. Stress marks (ˈ, ˌ) are part of the tokenizer vocab.
 _LEXICON: Dict[str, str] = {
-    "a": "ə", "an": "ən", "the": "ðə", "i": "aɪ", "you": "juː", "he": "hiː",
-    "she": "ʃiː", "we": "wiː", "they": "ðeɪ", "it": "ɪt", "is": "ɪz",
-    "are": "ɑːɹ", "was": "wʌz", "were": "wɜː", "be": "biː", "been": "bɪn",
-    "have": "hæv", "has": "hæz", "had": "hæd", "do": "duː", "does": "dʌz",
-    "did": "dɪd", "will": "wɪl", "would": "wʊd", "can": "kæn", "could": "kʊd",
-    "should": "ʃʊd", "to": "tuː", "of": "ʌv", "in": "ɪn", "on": "ɒn",
-    "at": "æt", "by": "baɪ", "for": "fɔːɹ", "with": "wɪð", "from": "fɹʌm",
-    "and": "ænd", "or": "ɔːɹ", "not": "nɒt", "no": "noʊ", "yes": "jɛs",
-    "this": "ðɪs", "that": "ðæt", "these": "ðiːz", "those": "ðoʊz",
-    "what": "wʌt", "who": "huː", "how": "haʊ", "when": "wɛn", "where": "wɛəɹ",
-    "why": "waɪ", "there": "ðɛəɹ", "here": "hɪəɹ", "one": "wʌn", "two": "tuː",
+    # articles / pronouns / determiners
+    "a": "ə", "an": "ən", "the": "ðə", "i": "ˈaɪ", "you": "juː",
+    "he": "hiː", "she": "ʃiː", "we": "wiː", "they": "ðeɪ", "it": "ɪt",
+    "me": "miː", "him": "hɪm", "her": "hɜːɹ", "us": "ʌs", "them": "ðɛm",
+    "my": "maɪ", "your": "jɔːɹ", "his": "hɪz", "its": "ɪts", "our": "aʊɚ",
+    "their": "ðɛɹ", "mine": "maɪn", "yours": "jɔːɹz", "this": "ðɪs",
+    "that": "ðæt", "these": "ðiːz", "those": "ðoʊz", "which": "wɪtʃ",
+    "each": "iːtʃ", "every": "ˈɛvɹi", "some": "sʌm", "any": "ˈɛni",
+    "many": "ˈmɛni", "much": "mʌtʃ", "few": "fjuː", "all": "ɔːl",
+    "both": "boʊθ", "other": "ˈʌðɚ", "another": "əˈnʌðɚ", "such": "sʌtʃ",
+    "own": "oʊn", "same": "seɪm", "more": "mɔːɹ", "most": "moʊst",
+    "less": "lɛs", "least": "liːst", "none": "nʌn", "something": "ˈsʌmθɪŋ",
+    "nothing": "ˈnʌθɪŋ", "everything": "ˈɛvɹiθɪŋ", "anything": "ˈɛniθɪŋ",
+    "someone": "ˈsʌmwʌn", "everyone": "ˈɛvɹiwʌn", "anyone": "ˈɛniwʌn",
+    # be / auxiliaries
+    "is": "ɪz", "are": "ɑːɹ", "was": "wʌz", "were": "wɜːɹ", "be": "biː",
+    "been": "bɪn", "being": "ˈbiːɪŋ", "am": "æm", "have": "hæv",
+    "has": "hæz", "had": "hæd", "do": "duː", "does": "dʌz", "did": "dɪd",
+    "done": "dʌn", "will": "wɪl", "would": "wʊd", "can": "kæn",
+    "could": "kʊd", "shall": "ʃæl", "should": "ʃʊd", "may": "meɪ",
+    "might": "maɪt", "must": "mʌst", "ought": "ɔːt", "need": "niːd",
+    "dont": "doʊnt", "cant": "kænt", "wont": "woʊnt", "isnt": "ˈɪzənt",
+    "im": "aɪm", "ive": "aɪv", "id": "aɪd", "ill": "aɪl",
+    "youre": "jʊɹ", "theyre": "ðɛɹ", "hes": "hiːz", "shes": "ʃiːz",
+    "were'": "wɪɹ", "lets": "lɛts", "thats": "ðæts", "whats": "wʌts",
+    # prepositions / conjunctions
+    "to": "tuː", "of": "ʌv", "in": "ɪn", "on": "ɑːn", "at": "æt",
+    "by": "baɪ", "for": "fɔːɹ", "with": "wɪð", "without": "wɪðˈaʊt",
+    "from": "fɹʌm", "into": "ˈɪntuː", "onto": "ˈɑːntuː", "about": "əˈbaʊt",
+    "against": "əˈɡɛnst", "between": "bɪˈtwiːn", "among": "əˈmʌŋ",
+    "through": "θɹuː", "during": "ˈdʊɹɪŋ", "before": "bɪˈfɔːɹ",
+    "after": "ˈæftɚ", "above": "əˈbʌv", "below": "bɪˈloʊ",
+    "under": "ˈʌndɚ", "over": "ˈoʊvɚ", "again": "əˈɡɛn",
+    "and": "ænd", "or": "ɔːɹ", "but": "bʌt", "if": "ɪf", "then": "ðɛn",
+    "else": "ɛls", "because": "bɪˈkɔz", "while": "waɪl", "since": "sɪns",
+    "until": "ənˈtɪl", "although": "ɔːlˈðoʊ", "though": "ðoʊ",
+    "however": "haʊˈɛvɚ", "therefore": "ˈðɛɹfɔːɹ", "so": "soʊ",
+    "as": "æz", "than": "ðæn", "too": "tuː", "also": "ˈɔːlsoʊ",
+    "not": "nɑːt", "no": "noʊ", "nor": "nɔːɹ", "yes": "jɛs",
+    "very": "ˈvɛɹi", "just": "dʒʌst", "only": "ˈoʊnli", "even": "ˈiːvən",
+    "still": "stɪl", "already": "ɔːlˈɹɛdi", "almost": "ˈɔːlmoʊst",
+    "always": "ˈɔːlweɪz", "never": "ˈnɛvɚ", "often": "ˈɔːfən",
+    "sometimes": "ˈsʌmtaɪmz", "usually": "ˈjuːʒuəli", "perhaps": "pɚˈhæps",
+    "maybe": "ˈmeɪbi", "really": "ˈɹɪli", "quite": "kwaɪt",
+    "rather": "ˈɹæðɚ", "together": "təˈɡɛðɚ", "away": "əˈweɪ",
+    "back": "bæk", "here": "hɪɹ", "there": "ðɛɹ", "everywhere": "ˈɛvɹiwɛɹ",
+    # questions
+    "what": "wʌt", "who": "huː", "whom": "huːm", "whose": "huːz",
+    "how": "haʊ", "when": "wɛn", "where": "wɛɹ", "why": "waɪ",
+    # numbers — everything NumberNormalizer can emit
+    "zero": "ˈzɪɹoʊ", "oh": "oʊ", "one": "wʌn", "two": "tuː",
     "three": "θɹiː", "four": "fɔːɹ", "five": "faɪv", "six": "sɪks",
-    "seven": "sɛvən", "eight": "eɪt", "nine": "naɪn", "ten": "tɛn",
-    "hello": "həloʊ", "world": "wɜːld", "mister": "mɪstəɹ",
-    "speech": "spiːtʃ", "time": "taɪm", "people": "piːpəl", "good": "ɡʊd",
-    "day": "deɪ", "night": "naɪt", "name": "neɪm", "my": "maɪ", "your": "jɔːɹ",
-    "all": "ɔːl", "some": "sʌm", "very": "vɛɹi", "new": "nuː", "now": "naʊ",
+    "seven": "ˈsɛvən", "eight": "eɪt", "nine": "naɪn", "ten": "tɛn",
+    "eleven": "ɪˈlɛvən", "twelve": "twɛlv", "thirteen": "θɜːɹˈtiːn",
+    "fourteen": "fɔːɹˈtiːn", "fifteen": "fɪfˈtiːn", "sixteen": "sɪksˈtiːn",
+    "seventeen": "sɛvənˈtiːn", "eighteen": "eɪˈtiːn", "nineteen": "naɪnˈtiːn",
+    "twenty": "ˈtwɛnti", "thirty": "ˈθɜːɹti", "forty": "ˈfɔːɹti",
+    "fifty": "ˈfɪfti", "sixty": "ˈsɪksti", "seventy": "ˈsɛvənti",
+    "eighty": "ˈeɪti", "ninety": "ˈnaɪnti", "hundred": "ˈhʌndɹəd",
+    "thousand": "ˈθaʊzənd", "million": "ˈmɪljən", "billion": "ˈbɪljən",
+    "trillion": "ˈtɹɪljən", "first": "fɜːɹst", "second": "ˈsɛkənd",
+    "third": "θɜːɹd", "fifth": "fɪfθ", "ninth": "naɪnθ",
+    "twelfth": "twɛlfθ", "half": "hæf", "quarter": "ˈkwɔːɹtɚ",
+    "point": "pɔɪnt", "minus": "ˈmaɪnəs", "percent": "pɚˈsɛnt",
+    "dollar": "ˈdɑːlɚ", "dollars": "ˈdɑːlɚz", "cent": "sɛnt",
+    "cents": "sɛnts", "euro": "ˈjʊɹoʊ", "euros": "ˈjʊɹoʊz",
+    "pound": "paʊnd", "pounds": "paʊndz",
+    # time
+    "time": "taɪm", "oclock": "əˈklɑːk", "clock": "klɑːk",
+    "today": "təˈdeɪ", "tomorrow": "təˈmɑːɹoʊ", "yesterday": "ˈjɛstɚdeɪ",
+    "morning": "ˈmɔːɹnɪŋ", "evening": "ˈiːvnɪŋ", "afternoon": "æftɚˈnuːn",
+    "night": "naɪt", "day": "deɪ", "week": "wiːk", "month": "mʌnθ",
+    "year": "jɪɹ", "hour": "aʊɚ", "minute": "ˈmɪnɪt", "moment": "ˈmoʊmənt",
+    "monday": "ˈmʌndeɪ", "tuesday": "ˈtuːzdeɪ", "wednesday": "ˈwɛnzdeɪ",
+    "thursday": "ˈθɜːɹzdeɪ", "friday": "ˈfɹaɪdeɪ", "saturday": "ˈsætɚdeɪ",
+    "sunday": "ˈsʌndeɪ", "january": "ˈdʒænjuɛɹi", "february": "ˈfɛbɹuɛɹi",
+    "march": "mɑːɹtʃ", "april": "ˈeɪpɹəl", "june": "dʒuːn",
+    "july": "dʒuˈlaɪ", "august": "ˈɔːɡəst", "september": "sɛpˈtɛmbɚ",
+    "october": "ɑːkˈtoʊbɚ", "november": "noʊˈvɛmbɚ", "december": "dɪˈsɛmbɚ",
+    # common verbs
+    "go": "ɡoʊ", "goes": "ɡoʊz", "going": "ˈɡoʊɪŋ", "went": "wɛnt",
+    "gone": "ɡɔːn", "come": "kʌm", "came": "keɪm", "get": "ɡɛt",
+    "got": "ɡɑːt", "make": "meɪk", "made": "meɪd", "take": "teɪk",
+    "took": "tʊk", "taken": "ˈteɪkən", "give": "ɡɪv", "gave": "ɡeɪv",
+    "given": "ˈɡɪvən", "know": "noʊ", "knew": "nuː", "known": "noʊn",
+    "think": "θɪŋk", "thought": "θɔːt", "say": "seɪ", "says": "sɛz",
+    "said": "sɛd", "see": "siː", "saw": "sɔː", "seen": "siːn",
+    "look": "lʊk", "want": "wɑːnt", "use": "juːz", "used": "juːzd",
+    "find": "faɪnd", "found": "faʊnd", "tell": "tɛl", "told": "toʊld",
+    "ask": "æsk", "work": "wɜːɹk", "seem": "siːm", "feel": "fiːl",
+    "felt": "fɛlt", "try": "tɹaɪ", "leave": "liːv", "left": "lɛft",
+    "call": "kɔːl", "keep": "kiːp", "kept": "kɛpt", "let": "lɛt",
+    "begin": "bɪˈɡɪn", "began": "bɪˈɡæn", "begun": "bɪˈɡʌn",
+    "show": "ʃoʊ", "hear": "hɪɹ", "heard": "hɜːɹd", "play": "pleɪ",
+    "run": "ɹʌn", "ran": "ɹæn", "move": "muːv", "live": "lɪv",
+    "believe": "bɪˈliːv", "bring": "bɹɪŋ", "brought": "bɹɔːt",
+    "happen": "ˈhæpən", "write": "ɹaɪt", "wrote": "ɹoʊt",
+    "written": "ˈɹɪtən", "read": "ɹiːd", "sit": "sɪt", "sat": "sæt",
+    "stand": "stænd", "stood": "stʊd", "lose": "luːz", "lost": "lɔːst",
+    "pay": "peɪ", "paid": "peɪd", "meet": "miːt", "met": "mɛt",
+    "include": "ɪnˈkluːd", "continue": "kənˈtɪnjuː", "set": "sɛt",
+    "learn": "lɜːɹn", "change": "tʃeɪndʒ", "lead": "liːd", "led": "lɛd",
+    "understand": "ʌndɚˈstænd", "understood": "ʌndɚˈstʊd",
+    "watch": "wɑːtʃ", "follow": "ˈfɑːloʊ", "stop": "stɑːp",
+    "create": "kɹiˈeɪt", "speak": "spiːk", "spoke": "spoʊk",
+    "spoken": "ˈspoʊkən", "listen": "ˈlɪsən", "open": "ˈoʊpən",
+    "close": "kloʊz", "walk": "wɔːk", "win": "wɪn", "won": "wʌn",
+    "offer": "ˈɔːfɚ", "remember": "ɹɪˈmɛmbɚ", "love": "lʌv",
+    "consider": "kənˈsɪdɚ", "appear": "əˈpɪɹ", "buy": "baɪ",
+    "bought": "bɔːt", "wait": "weɪt", "serve": "sɜːɹv", "die": "daɪ",
+    "send": "sɛnd", "sent": "sɛnt", "expect": "ɪkˈspɛkt",
+    "build": "bɪld", "built": "bɪlt", "stay": "steɪ", "fall": "fɔːl",
+    "fell": "fɛl", "cut": "kʌt", "reach": "ɹiːtʃ", "kill": "kɪl",
+    "remain": "ɹɪˈmeɪn", "eat": "iːt", "ate": "eɪt", "eaten": "ˈiːtən",
+    "drink": "dɹɪŋk", "sleep": "sliːp", "thank": "θæŋk",
+    "thanks": "θæŋks", "please": "pliːz", "sorry": "ˈsɑːɹi",
+    "welcome": "ˈwɛlkəm", "hello": "həˈloʊ", "hi": "haɪ",
+    "goodbye": "ɡʊdˈbaɪ", "bye": "baɪ", "okay": "oʊˈkeɪ", "ok": "oʊˈkeɪ",
+    # common nouns / adjectives
+    "world": "wɜːɹld", "people": "ˈpiːpəl", "person": "ˈpɜːɹsən",
+    "man": "mæn", "men": "mɛn", "woman": "ˈwʊmən", "women": "ˈwɪmɪn",
+    "child": "tʃaɪld", "children": "ˈtʃɪldɹən", "life": "laɪf",
+    "hand": "hænd", "part": "pɑːɹt", "place": "pleɪs", "case": "keɪs",
+    "thing": "θɪŋ", "fact": "fækt", "group": "ɡɹuːp", "problem": "ˈpɹɑːbləm",
+    "right": "ɹaɪt", "wrong": "ɹɔːŋ", "number": "ˈnʌmbɚ", "house": "haʊs",
+    "home": "hoʊm", "water": "ˈwɔːtɚ", "room": "ɹuːm", "mother": "ˈmʌðɚ",
+    "father": "ˈfɑːðɚ", "friend": "fɹɛnd", "family": "ˈfæməli",
+    "area": "ˈɛɹiə", "money": "ˈmʌni", "story": "ˈstɔːɹi", "word": "wɜːɹd",
+    "words": "wɜːɹdz", "book": "bʊk", "eye": "aɪ", "eyes": "aɪz",
+    "head": "hɛd", "face": "feɪs", "voice": "vɔɪs", "sound": "saʊnd",
+    "music": "ˈmjuːzɪk", "speech": "spiːtʃ", "language": "ˈlæŋɡwɪdʒ",
+    "question": "ˈkwɛstʃən", "answer": "ˈænsɚ", "idea": "aɪˈdiə",
+    "name": "neɪm", "school": "skuːl", "state": "steɪt",
+    "country": "ˈkʌntɹi", "city": "ˈsɪti", "street": "stɹiːt",
+    "road": "ɹoʊd", "car": "kɑːɹ", "door": "dɔːɹ", "light": "laɪt",
+    "sun": "sʌn", "moon": "muːn", "star": "stɑːɹ", "sky": "skaɪ",
+    "air": "ɛɹ", "fire": "faɪɚ", "earth": "ɜːɹθ", "sea": "siː",
+    "tree": "tɹiː", "food": "fuːd", "dog": "dɔːɡ", "cat": "kæt",
+    "bird": "bɜːɹd", "good": "ɡʊd", "bad": "bæd", "great": "ɡɹeɪt",
+    "little": "ˈlɪtəl", "small": "smɔːl", "big": "bɪɡ", "large": "lɑːɹdʒ",
+    "long": "lɔːŋ", "short": "ʃɔːɹt", "high": "haɪ", "low": "loʊ",
+    "old": "oʊld", "young": "jʌŋ", "new": "nuː", "early": "ˈɜːɹli",
+    "late": "leɪt", "important": "ɪmˈpɔːɹtənt", "different": "ˈdɪfɹənt",
+    "next": "nɛkst", "last": "læst", "able": "ˈeɪbəl", "sure": "ʃʊɹ",
+    "true": "tɹuː", "false": "fɔːls", "real": "ɹiːl", "whole": "hoʊl",
+    "free": "fɹiː", "full": "fʊl", "easy": "ˈiːzi", "hard": "hɑːɹd",
+    "strong": "stɹɔːŋ", "clear": "klɪɹ", "white": "waɪt", "black": "blæk",
+    "red": "ɹɛd", "green": "ɡɹiːn", "blue": "bluː", "warm": "wɔːɹm",
+    "cold": "koʊld", "hot": "hɑːt", "beautiful": "ˈbjuːtəfəl",
+    "happy": "ˈhæpi", "nice": "naɪs", "fine": "faɪn", "once": "wʌns",
+    "twice": "twaɪs", "mister": "ˈmɪstɚ", "missus": "ˈmɪsɪz",
+    "doctor": "ˈdɑːktɚ", "now": "naʊ", "soon": "suːn", "yet": "jɛt",
+    "ever": "ˈɛvɚ", "off": "ɔːf", "out": "aʊt", "up": "ʌp", "down": "daʊn",
 }
 
 # ordered grapheme → IPA rules (longest-match first)
@@ -48,30 +193,97 @@ _RULES = [
     ("er", "əɹ"), ("ir", "ɜːɹ"), ("or", "ɔːɹ"), ("ur", "ɜːɹ"),
     ("a", "æ"), ("b", "b"), ("c", "k"), ("d", "d"), ("e", "ɛ"), ("f", "f"),
     ("g", "ɡ"), ("h", "h"), ("i", "ɪ"), ("j", "dʒ"), ("k", "k"), ("l", "l"),
-    ("m", "m"), ("n", "n"), ("o", "ɒ"), ("p", "p"), ("r", "ɹ"), ("s", "s"),
+    ("m", "m"), ("n", "n"), ("o", "ɑː"), ("p", "p"), ("r", "ɹ"), ("s", "s"),
     ("t", "t"), ("u", "ʌ"), ("v", "v"), ("w", "w"), ("x", "ks"), ("y", "j"),
     ("z", "z"),
 ]
 
+# magic-e: the vowel before a stripped silent e says its name
+_LONG_VOWEL = {"a": "eɪ", "e": "iː", "i": "aɪ", "o": "oʊ", "u": "uː"}
+
+_VOICELESS = set("ptkfθsʃtʃ")
+
+
+def _suffix_s(stem_ipa: str) -> str:
+    """Voicing-sensitive plural/3sg: cats→s, dogs→z, buses→ɪz."""
+    if not stem_ipa:
+        return "z"
+    last = stem_ipa[-1]
+    if last in "szʃʒ" or stem_ipa.endswith(("tʃ", "dʒ")):
+        return "ɪz"
+    return "s" if last in _VOICELESS else "z"
+
+
+def _suffix_ed(stem_ipa: str) -> str:
+    """wanted→ɪd, walked→t, played→d."""
+    if not stem_ipa:
+        return "d"
+    if stem_ipa[-1] in "td":
+        return "ɪd"
+    return "t" if stem_ipa[-1] in _VOICELESS else "d"
+
 
 def word_to_ipa(word: str) -> str:
-    word = word.lower()
+    word = word.lower().replace("'", "")
     if word in _LEXICON:
         return _LEXICON[word]
-    # silent trailing e heuristic: "make" → "maek"-style long vowel
-    out = []
-    i = 0
+
+    # suffix morphology: recurse on the stem so inflections of lexicon
+    # words stay accurate ("worked" → wɜːɹk + t)
+    if len(word) > 3:
+        if word.endswith("ies"):
+            stem = word_to_ipa(word[:-3] + "y")
+            return stem[:-1] + "iz" if stem.endswith("i") else stem + "iz"
+        if word.endswith("es") and word[:-2] in _LEXICON:
+            stem = _LEXICON[word[:-2]]
+            return stem + _suffix_s(stem)
+        if word.endswith("s") and not word.endswith("ss") and word[:-1] in _LEXICON:
+            stem = _LEXICON[word[:-1]]
+            return stem + _suffix_s(stem)
+        if word.endswith("ed"):
+            for stem_word in (word[:-2], word[:-2] + "e", word[:-3]):
+                if stem_word in _LEXICON:
+                    stem = _LEXICON[stem_word]
+                    return stem + _suffix_ed(stem)
+        if word.endswith("ing"):
+            for stem_word in (word[:-3], word[:-3] + "e", word[:-4]):
+                if stem_word in _LEXICON:
+                    return _LEXICON[stem_word] + "ɪŋ"
+        if word.endswith("ly") and word[:-2] in _LEXICON:
+            return _LEXICON[word[:-2]] + "li"
+        if word.endswith("ness") and word[:-4] in _LEXICON:
+            return _LEXICON[word[:-4]] + "nəs"
+        if word.endswith("ment") and word[:-4] in _LEXICON:
+            return _LEXICON[word[:-4]] + "mənt"
+        if word.endswith("ful") and word[:-3] in _LEXICON:
+            return _LEXICON[word[:-3]] + "fəl"
+        if word.endswith("er") and word[:-2] in _LEXICON:
+            return _LEXICON[word[:-2]] + "ɚ"
+        if word.endswith("est") and word[:-3] in _LEXICON:
+            return _LEXICON[word[:-3]] + "əst"
+
+    # letter-to-sound with magic-e
     w = word
+    magic_e = False
     if len(w) > 2 and w.endswith("e") and w[-2] not in "aeiou":
         w = w[:-1]
+        magic_e = True
+    out = []
+    last_single_vowel = None  # (position in out, grapheme)
+    i = 0
     while i < len(w):
         for pat, ipa in _RULES:
             if w.startswith(pat, i):
+                if pat in _LONG_VOWEL:
+                    last_single_vowel = (len(out), pat)
                 out.append(ipa)
                 i += len(pat)
                 break
         else:
             i += 1  # unknown char: drop
+    if magic_e and last_single_vowel is not None:
+        pos, grapheme = last_single_vowel
+        out[pos] = _LONG_VOWEL[grapheme]  # "make" → meɪk
     return "".join(out)
 
 
@@ -96,7 +308,7 @@ class RuleBasedG2P(BasePhonemizer):
 
     @classmethod
     def version(cls) -> str:
-        return "1.0"
+        return "2.0"
 
     @staticmethod
     def supported_languages() -> dict:

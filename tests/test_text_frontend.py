@@ -80,7 +80,7 @@ def test_punctuation_strip_and_restore():
 def test_fallback_g2p():
     g2p = RuleBasedG2P()
     out = g2p.phonemize("hello world", separator="")
-    assert "həloʊ" in out and "wɜːld" in out
+    assert "həˈloʊ" in out and "wɜːɹld" in out
     out2 = g2p.phonemize("checking things", separator="")
     assert "tʃ" in out2 and "ŋ" in out2  # digraph rules applied
 
@@ -151,3 +151,181 @@ def test_normalizer_multilang():
     n = NumberNormalizer()
     assert "treinta" in n.normalize_numbers("Tengo 30 manzanas", language="es")
     assert "trente" in n.normalize_numbers("J'ai 30 pommes", language="fr")
+
+
+# ----------------------- espeak wrapper (mocked binary) ----------------- #
+
+
+def _fake_espeak(tmp_path, name, version_line, voices=None, phon_out="_h_ə_l_ˈoʊ"):
+    """Install a fake espeak binary on PATH emitting canned output."""
+    voices = voices or [
+        "Pty Language Age/Gender VoiceName          File          Other Languages",
+        " 5  en-us          M  english-us     en-us          (en 3)",
+        " 5  fr             M  french         fr",
+        " 7  cmn            M  chinese        zh",
+    ]
+    script = tmp_path / name
+    lines = [
+        "#!/bin/sh",
+        'for a in "$@"; do',
+        '  case "$a" in',
+        f'    --version) echo "{version_line}"; exit 0;;',
+        "    --voices) cat << 'VOICES'",
+        *voices,
+        "VOICES",
+        "    exit 0;;",
+        "  esac",
+        "done",
+        f'echo "{phon_out}"',
+    ]
+    script.write_text("\n".join(lines) + "\n")
+    script.chmod(0o755)
+    return script
+
+
+def test_espeak_ng_version_parsing(tmp_path, monkeypatch):
+    from naturalspeech2_tpu.utils.phonemizers import espeak_wrapper as ew
+
+    _fake_espeak(
+        tmp_path, "espeak-ng",
+        "eSpeak NG text-to-speech: 1.52.0  Data at: /usr/share/espeak-ng-data",
+    )
+    monkeypatch.setenv("PATH", f"{tmp_path}:/usr/bin:/bin")
+    ew.ESpeak._LANG_CACHE.clear()
+    e = ew.ESpeak("en")
+    assert e.backend == "espeak-ng"
+    assert e.version() == "1.52.0"
+    assert e.language == "en-us"  # band-aid remap
+
+
+def test_espeak_symlinked_version_regex(tmp_path, monkeypatch):
+    """A classic `espeak` symlinked to espeak-ng moves the version token;
+    the regex on 'text-to-speech: X.Y.Z' still finds it (ref :20-29)."""
+    from naturalspeech2_tpu.utils.phonemizers import espeak_wrapper as ew
+
+    _fake_espeak(
+        tmp_path, "espeak",
+        "eSpeak NG text-to-speech: 1.50  Data at: /usr/share",
+    )
+    monkeypatch.setenv("PATH", f"{tmp_path}:/usr/bin:/bin")
+    ew.ESpeak._LANG_CACHE.clear()
+    e = ew.ESpeak("en", backend="espeak")
+    assert e.version() == "1.50"
+    # ≥1.48.15 → --ipa=1 (non-tie)
+    assert e._ipa_flag(tie=False) == "--ipa=1"
+    assert e._ipa_flag(tie=True) == "--ipa=1"
+
+
+def test_espeak_old_version_ipa_gate(tmp_path, monkeypatch):
+    from naturalspeech2_tpu.utils.phonemizers import espeak_wrapper as ew
+
+    _fake_espeak(
+        tmp_path, "espeak",
+        "eSpeak text-to-speech: 1.48.03  04.Mar.14  Data at: /usr/share",
+    )
+    monkeypatch.setenv("PATH", f"{tmp_path}:/usr/bin:/bin")
+    ew.ESpeak._LANG_CACHE.clear()
+    e = ew.ESpeak("en", backend="espeak")
+    assert e.version() == "1.48.03"
+    assert e._ipa_flag(tie=False) == "--ipa=3"  # pre-1.48.15
+
+
+def test_espeak_language_validation(tmp_path, monkeypatch):
+    from naturalspeech2_tpu.utils.phonemizers import espeak_wrapper as ew
+
+    _fake_espeak(
+        tmp_path, "espeak-ng",
+        "eSpeak NG text-to-speech: 1.52.0  Data at: /x",
+    )
+    monkeypatch.setenv("PATH", f"{tmp_path}:/usr/bin:/bin")
+    ew.ESpeak._LANG_CACHE.clear()
+    assert ew.ESpeak("fr").language == "fr"
+    assert ew.ESpeak("zh-cn").language == "cmn"  # remap then validate
+    with pytest.raises(RuntimeError, match="not supported"):
+        ew.ESpeak("xx-nope")
+
+
+def test_espeak_unknown_backend_rejected(tmp_path, monkeypatch):
+    from naturalspeech2_tpu.utils.phonemizers import espeak_wrapper as ew
+
+    _fake_espeak(
+        tmp_path, "espeak-ng",
+        "eSpeak NG text-to-speech: 1.52.0  Data at: /x",
+    )
+    monkeypatch.setenv("PATH", f"{tmp_path}:/usr/bin:/bin")
+    with pytest.raises(ValueError, match="unknown espeak backend"):
+        ew.ESpeak("en", backend="festival")
+
+
+def test_espeak_phonemize_cleanup(tmp_path, monkeypatch):
+    """Leading separator stripped, (lang) switch flags removed, '_' →
+    separator."""
+    from naturalspeech2_tpu.utils.phonemizers import espeak_wrapper as ew
+
+    _fake_espeak(
+        tmp_path, "espeak-ng",
+        "eSpeak NG text-to-speech: 1.52.0  Data at: /x",
+        phon_out="_h_ə_l_ˈoʊ (en)wˈɜːld(fr)",
+    )
+    monkeypatch.setenv("PATH", f"{tmp_path}:/usr/bin:/bin")
+    ew.ESpeak._LANG_CACHE.clear()
+    e = ew.ESpeak("en")
+    out = e.phonemize_espeak("hello world", separator="|")
+    assert out.startswith("h"), out  # leading _ stripped
+    assert "(en)" not in out and "(fr)" not in out
+    assert "|" in out
+
+
+# ----------------------- fallback G2P quality --------------------------- #
+
+
+def test_fallback_lexicon_coverage():
+    from naturalspeech2_tpu.utils.phonemizers.fallback import word_to_ipa
+
+    assert word_to_ipa("hello") == "həˈloʊ"
+    assert word_to_ipa("twenty") == "ˈtwɛnti"
+    assert word_to_ipa("hundred") == "ˈhʌndɹəd"
+    # number-normalizer output words must all be in the lexicon
+    for w in ("zero one two three four five six seven eight nine ten eleven "
+              "twelve thirteen twenty thirty forty fifty sixty seventy "
+              "eighty ninety hundred thousand million dollars cents").split():
+        out = word_to_ipa(w)
+        assert out and out != w, w
+
+
+def test_fallback_suffix_morphology():
+    from naturalspeech2_tpu.utils.phonemizers.fallback import word_to_ipa
+
+    assert word_to_ipa("worked") == word_to_ipa("work") + "t"   # voiceless -ed
+    assert word_to_ipa("played") == word_to_ipa("play") + "d"   # voiced -ed
+    assert word_to_ipa("wanted").endswith("ɪd")                  # t/d stem
+    assert word_to_ipa("books") == word_to_ipa("book") + "s"    # voiceless -s
+    assert word_to_ipa("dogs") == word_to_ipa("dog") + "z"      # voiced -s
+    assert word_to_ipa("walking") == word_to_ipa("walk") + "ɪŋ"
+    assert word_to_ipa("nicely") == word_to_ipa("nice") + "li"
+
+
+def test_fallback_magic_e():
+    from naturalspeech2_tpu.utils.phonemizers.fallback import word_to_ipa
+
+    # not in lexicon → LTS with magic-e lengthening
+    assert "eɪ" in word_to_ipa("crate")
+    assert "aɪ" in word_to_ipa("stripe")
+    assert "oʊ" in word_to_ipa("globe")
+
+
+def test_fallback_outputs_tokenizer_vocab():
+    """Everything the fallback emits must survive the tokenizer (no unknown
+    char drops) for common sentences."""
+    from naturalspeech2_tpu.utils.phonemizers.fallback import RuleBasedG2P
+    from naturalspeech2_tpu.utils.tokenizer import Tokenizer
+
+    g2p = RuleBasedG2P(keep_puncs=False)
+    tok = Tokenizer()
+    phonemes = g2p.phonemize(
+        "the quick brown fox jumps over the lazy dog at twenty five past"
+        " nine", separator=""
+    )
+    ids = tok.encode(phonemes)
+    decoded = tok.decode(ids)
+    assert decoded == phonemes, (phonemes, decoded)
