@@ -31,18 +31,21 @@ def bench_config(name, dim, depth, batch, length, n_steps, scan_layers=True):
     x = jnp.zeros((batch, length, dim), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((batch,)))
 
-    def denoise_fn(audio, times):
-        return model.apply(params, audio, times)
-
+    # params MUST be a jit argument, not a closure constant: closed-over
+    # arrays are embedded as HLO literals, and a dim512 model's ~200 MB of
+    # constants sends the remote compile service into a death spiral
     @jax.jit
-    def run(key):
+    def run(params, key):
+        def denoise_fn(audio, times):
+            return model.apply(params, audio, times)
+
         return ddim_sample(
             denoise_fn, key, (batch, length, dim), timesteps=n_steps,
             gamma_schedule=sigmoid_schedule, objective="v",
         )
 
     t0 = time.perf_counter()
-    out = run(jax.random.PRNGKey(1))
+    out = run(params, jax.random.PRNGKey(1))
     s = float(out.sum())  # pull a scalar: true sync through the axon tunnel
     compile_s = time.perf_counter() - t0
     assert jnp.isfinite(s), s
@@ -52,7 +55,7 @@ def bench_config(name, dim, depth, batch, length, n_steps, scan_layers=True):
     best = float("inf")
     for r in range(reps):
         ts = time.perf_counter()
-        float(run(jax.random.PRNGKey(2 + r)).sum())
+        float(run(params, jax.random.PRNGKey(2 + r)).sum())
         best = min(best, time.perf_counter() - ts)
     wall = best
     step_ms = wall / n_steps * 1e3

@@ -7,8 +7,12 @@ RVQ, EMA codebook updates (SoundStream-style: codebook entries track the
 EMA of their assigned residuals — VQ codebooks learn by assignment
 statistics, not backprop), data-sharded jitted step over the mesh.
 
-Adversarial (discriminator) training is a quality refinement left for a
-later round; the losses here train a functional codec from scratch.
+Adversarial refinement (``adversarial_weight > 0``) adds the
+SoundStream/Encodec recipe: multi-scale STFT discriminators with hinge
+losses and feature matching (`models.discriminator`). Generator and
+discriminator update in the same jitted step (D sees the stop-gradiented
+reconstruction); ``adversarial_warmup`` delays the adversarial terms so
+the reconstruction losses shape the codec first.
 """
 
 from __future__ import annotations
@@ -36,6 +40,8 @@ class CodecTrainState(struct.PyTreeNode):
     opt_state: tuple
     codebook_ema: jax.Array  # [Q, K, d] EMA of assigned residual sums
     codebook_count: jax.Array  # [Q, K] EMA of assignment counts
+    disc_params: Optional[dict] = None
+    disc_opt_state: Optional[tuple] = None
 
 
 class CodecTrainer:
@@ -48,6 +54,12 @@ class CodecTrainer:
         commitment_weight: float = 0.25,
         stft_weight: float = 1.0,
         wav_weight: float = 1.0,
+        adversarial_weight: float = 0.0,
+        feature_weight: float = 3.0,
+        adversarial_warmup: int = 0,
+        disc_lr: Optional[float] = None,
+        disc_channels: int = 32,
+        disc_scales=None,
         codebook_ema_decay: float = 0.99,
         max_grad_norm: float = 1.0,
         mesh=None,
@@ -59,11 +71,29 @@ class CodecTrainer:
         self.commitment_weight = commitment_weight
         self.stft_weight = stft_weight
         self.wav_weight = wav_weight
+        self.adversarial_weight = adversarial_weight
+        self.feature_weight = feature_weight
+        self.adversarial_warmup = adversarial_warmup
         self.decay = codebook_ema_decay
         self.mesh = mesh if mesh is not None else make_mesh()
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
         )
+        self.discriminator = None
+        self.disc_optimizer = None
+        if adversarial_weight > 0.0:
+            from naturalspeech2_tpu.models.discriminator import (
+                DEFAULT_SCALES,
+                MultiScaleSTFTDiscriminator,
+            )
+
+            self.discriminator = MultiScaleSTFTDiscriminator(
+                scales=disc_scales or DEFAULT_SCALES, channels=disc_channels
+            )
+            self.disc_optimizer = optax.chain(
+                optax.clip_by_global_norm(max_grad_norm),
+                optax.adam(disc_lr if disc_lr is not None else lr),
+            )
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
         self.seed = seed
@@ -72,20 +102,29 @@ class CodecTrainer:
 
     def init_state(self, example_batch: np.ndarray) -> CodecTrainState:
         key = jax.random.PRNGKey(self.seed)
-        params = self.codec.init(key, jnp.asarray(example_batch))["params"]
+        audio = jnp.asarray(example_batch)
+        params = self.codec.init(key, audio)["params"]
         codebooks = params["codebooks"]
+        disc_params = disc_opt_state = None
+        if self.discriminator is not None:
+            disc_params = self.discriminator.init(
+                jax.random.fold_in(key, 1), audio
+            )["params"]
+            disc_opt_state = self.disc_optimizer.init(disc_params)
         self.state = CodecTrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=self.optimizer.init(params),
             codebook_ema=jnp.copy(codebooks),  # distinct buffer — donation-safe
             codebook_count=jnp.ones(codebooks.shape[:2], jnp.float32),
+            disc_params=disc_params,
+            disc_opt_state=disc_opt_state,
         )
         return self.state
 
     # ------------------------------------------------------------------ #
 
-    def _losses(self, params, audio):
+    def _losses(self, params, disc_params, audio, adv_on):
         codec = self.codec
         latents = codec.apply(
             {"params": params}, audio, method=codec.encode_latents
@@ -110,17 +149,64 @@ class CodecTrainer:
         metrics = {
             "loss": loss, "wav_l1": wav_l1, "stft": stft_l, "commit": commit,
         }
-        return loss, (metrics, flat, codes)
+        if self.discriminator is not None:
+            from naturalspeech2_tpu.models.discriminator import (
+                feature_matching_loss,
+                generator_hinge_loss,
+            )
+
+            # D is frozen inside the generator loss
+            fake_logits, fake_feats = self.discriminator.apply(
+                {"params": jax.lax.stop_gradient(disc_params)}, recon
+            )
+            real_logits, real_feats = self.discriminator.apply(
+                {"params": jax.lax.stop_gradient(disc_params)}, audio
+            )
+            adv = generator_hinge_loss(fake_logits)
+            feat = feature_matching_loss(
+                jax.lax.stop_gradient(real_feats), fake_feats
+            )
+            loss = loss + adv_on * (
+                self.adversarial_weight * adv + self.feature_weight * feat
+            )
+            metrics.update({"adv_g": adv, "feat": feat, "loss": loss})
+        return loss, (metrics, flat, codes, recon)
 
     def _train_step(self, state: CodecTrainState, audio: jax.Array):
-        (_, (metrics, flat, codes)), grads = jax.value_and_grad(
+        adv_on = jnp.asarray(
+            state.step >= self.adversarial_warmup, jnp.float32
+        )
+        (_, (metrics, flat, codes, recon)), grads = jax.value_and_grad(
             self._losses, has_aux=True
-        )(state.params, audio)
+        )(state.params, state.disc_params, audio, adv_on)
 
         updates, opt_state = self.optimizer.update(
             grads, state.opt_state, state.params
         )
         params = optax.apply_updates(state.params, updates)
+
+        # discriminator step on the stop-gradiented reconstruction
+        disc_params, disc_opt_state = state.disc_params, state.disc_opt_state
+        if self.discriminator is not None:
+            from naturalspeech2_tpu.models.discriminator import (
+                discriminator_hinge_loss,
+            )
+
+            fake = jax.lax.stop_gradient(recon)
+
+            def d_loss(dp):
+                real_logits, _ = self.discriminator.apply({"params": dp}, audio)
+                fake_logits, _ = self.discriminator.apply({"params": dp}, fake)
+                return discriminator_hinge_loss(real_logits, fake_logits)
+
+            d_val, d_grads = jax.value_and_grad(d_loss)(disc_params)
+            # freeze D until warmup ends (and let metrics show its loss)
+            d_grads = jax.tree_util.tree_map(lambda g: g * adv_on, d_grads)
+            d_updates, disc_opt_state = self.disc_optimizer.update(
+                d_grads, disc_opt_state, disc_params
+            )
+            disc_params = optax.apply_updates(disc_params, d_updates)
+            metrics["adv_d"] = d_val
 
         # EMA codebook update from assignment statistics (per stage, the
         # residual BEFORE that stage is what the codebook quantizes)
@@ -156,6 +242,8 @@ class CodecTrainer:
             opt_state=opt_state,
             codebook_ema=jnp.stack(new_ema),
             codebook_count=jnp.stack(new_count),
+            disc_params=disc_params,
+            disc_opt_state=disc_opt_state,
         )
         return new_state, metrics
 
@@ -187,6 +275,10 @@ class CodecTrainer:
             "step": np.asarray(self.state.step),
             "params": flax.serialization.to_state_dict(self.state.params),
         }
+        if self.state.disc_params is not None:
+            payload["disc_params"] = flax.serialization.to_state_dict(
+                self.state.disc_params
+            )
         path = self.results_folder / f"codec-{milestone}.ckpt"
         path.write_bytes(flax.serialization.msgpack_serialize(payload))
         return str(path)

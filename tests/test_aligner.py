@@ -134,6 +134,7 @@ def test_f0_to_coarse_range():
 # --------------------------- full module ------------------------------ #
 
 
+@pytest.mark.slow
 def test_aligner_module_end_to_end():
     b, t_x, t_y, d_mel, d_h = 2, 8, 30, 16, 32
     phon = jax.random.normal(KEY, (b, t_x, d_h))
@@ -163,6 +164,7 @@ def test_aligner_module_end_to_end():
     assert float(bloss) >= 0
 
 
+@pytest.mark.slow
 def test_pitch_noisy_sine():
     """ACF estimator with median smoothing holds up on a noisy tone."""
     sr, hop, freq = 24000, 160, 220.0
@@ -178,6 +180,7 @@ def test_pitch_noisy_sine():
     assert abs(np.median(voiced) - freq) / freq < 0.03
 
 
+@pytest.mark.slow
 def test_pitch_vibrato_tracks():
     """Slow vibrato (±5%) is tracked frame to frame."""
     sr, hop = 24000, 160
@@ -217,6 +220,7 @@ def test_nccf_silence_unvoiced():
     assert (f0 == 0).all()
 
 
+@pytest.mark.slow
 def test_nccf_noisy_sine():
     """Viterbi lag tracking holds up on a noisy tone."""
     from naturalspeech2_tpu.ops.pitch import compute_pitch_nccf
@@ -233,6 +237,7 @@ def test_nccf_noisy_sine():
     assert abs(np.median(voiced) - freq) / freq < 0.03
 
 
+@pytest.mark.slow
 def test_nccf_vibrato_tracks():
     from naturalspeech2_tpu.ops.pitch import compute_pitch_nccf
 
@@ -247,6 +252,7 @@ def test_nccf_vibrato_tracks():
     assert voiced.max() - voiced.min() > 10
 
 
+@pytest.mark.slow
 def test_nccf_viterbi_suppresses_octave_jumps():
     """A tone whose 2nd harmonic dominates briefly trips a greedy per-frame
     argmax into octave errors; the Viterbi transition penalty should keep

@@ -99,6 +99,7 @@ def test_flash_causal_long():
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_xla), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_flash_grad_matches_xla(qkv):
     q, k, v = qkv
     lengths = jnp.array([50, 96])
@@ -116,6 +117,7 @@ def test_flash_grad_matches_xla(qkv):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
 
 
+@pytest.mark.slow
 def test_flash_grad_causal_matches_xla():
     key = jax.random.PRNGKey(3)
     q = jax.random.normal(key, (2, 2, 96, 32))
@@ -131,6 +133,7 @@ def test_flash_grad_causal_matches_xla():
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gx), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_flash_grad_rectangular_cross():
     # cross-attention shape: n_q != n_kv exercises independent padding paths
     kq, kk, kv = jax.random.split(jax.random.PRNGKey(4), 3)
@@ -196,6 +199,7 @@ def test_flash_fully_masked_rows_zero_and_no_grad_leak():
     assert float(jnp.abs(dv[1]).max()) == 0.0, "grad leaked into fully-masked values"
 
 
+@pytest.mark.slow
 def test_flash_partial_row_mask_grad_no_leak():
     """Masked key positions in a normally-masked batch receive zero dk/dv."""
     key = jax.random.PRNGKey(8)
@@ -234,6 +238,7 @@ def test_flash_dropout_deterministic_per_key():
     assert not np.allclose(np.asarray(a), np.asarray(c))
 
 
+@pytest.mark.slow
 def test_flash_dropout_unbiased():
     """E[dropout attention] == no-dropout attention (keep/(1−r) scaling)."""
     key = jax.random.PRNGKey(8)
@@ -252,6 +257,7 @@ def test_flash_dropout_unbiased():
     assert np.abs(mean - base).mean() < 0.05, np.abs(mean - base).mean()
 
 
+@pytest.mark.slow
 def test_flash_dropout_grad_finite_difference():
     """With a fixed seed the dropped kernel is a deterministic function —
     its custom_vjp must match finite differences (verifies the backward

@@ -127,6 +127,7 @@ def test_conditionable_transformer():
     assert out.shape == x.shape
 
 
+@pytest.mark.slow
 def test_wavenet_shapes_and_conditioning():
     x = jax.random.normal(KEY, (2, 16, 8))
     t = jax.random.normal(jax.random.PRNGKey(5), (2, 32))

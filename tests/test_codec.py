@@ -5,6 +5,10 @@ import pytest
 
 from naturalspeech2_tpu.models.codec import SoundStream
 
+# integration-scale: runs in the full (CI) matrix; 'pytest -m "not slow"' is the fast default
+pytestmark = pytest.mark.slow
+
+
 KEY = jax.random.PRNGKey(0)
 
 

@@ -12,6 +12,10 @@ from naturalspeech2_tpu.models.codec import SoundStream
 from naturalspeech2_tpu.models.denoiser import Model
 from naturalspeech2_tpu.models.naturalspeech2 import NaturalSpeech2
 
+# integration-scale: runs in the full (CI) matrix; 'pytest -m "not slow"' is the fast default
+pytestmark = pytest.mark.slow
+
+
 KEY = jax.random.PRNGKey(0)
 
 

@@ -26,6 +26,10 @@ from naturalspeech2_tpu.ops.schedules import (
 )
 from naturalspeech2_tpu.utils.helpers import safe_div
 
+# integration-scale: runs in the full (CI) matrix; 'pytest -m "not slow"' is the fast default
+pytestmark = pytest.mark.slow
+
+
 N, D = 16, 16
 TARGET = jnp.asarray(np.random.RandomState(0).randn(1, N, D) * 0.5, jnp.float32)
 

@@ -178,6 +178,7 @@ def test_dataset_uses_native_loader(tmp_path):
     assert sr == SR and len(out) == len(audio)
 
 
+@pytest.mark.slow
 def test_flac_corrupt_no_crash(tmp_path):
     """Corrupt FLAC bytes with embedded 0xFFF8 sync pairs must be rejected
     (or decoded partially), never crash/overflow (ADVICE r1: decode_residual

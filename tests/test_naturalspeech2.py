@@ -15,6 +15,10 @@ from naturalspeech2_tpu.models.naturalspeech2 import (
     sample,
 )
 
+# integration-scale: runs in the full (CI) matrix; 'pytest -m "not slow"' is the fast default
+pytestmark = pytest.mark.slow
+
+
 KEY = jax.random.PRNGKey(0)
 
 

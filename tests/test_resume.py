@@ -10,6 +10,10 @@ from naturalspeech2_tpu.trainer import Trainer
 
 from tests.test_trainer import batch_iter, tiny_ns2
 
+# integration-scale: runs in the full (CI) matrix; 'pytest -m "not slow"' is the fast default
+pytestmark = pytest.mark.slow
+
+
 
 def make_trainer(tmp_path, steps):
     return Trainer(

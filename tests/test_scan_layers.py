@@ -8,6 +8,7 @@ plus gradient flow under remat.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -90,6 +91,7 @@ def test_scan_matches_loop_unconditional():
     )
 
 
+@pytest.mark.slow
 def test_scan_remat_grads_match():
     """remat must not change values or gradients, only memory."""
     kwargs = dict(

@@ -12,6 +12,10 @@ from naturalspeech2_tpu.ops.attention import attend_xla
 from naturalspeech2_tpu.parallel.mesh import make_mesh
 from naturalspeech2_tpu.parallel.sp import sp_attend
 
+# integration-scale: runs in the full (CI) matrix; 'pytest -m "not slow"' is the fast default
+pytestmark = pytest.mark.slow
+
+
 KEY = jax.random.PRNGKey(0)
 
 

@@ -12,6 +12,10 @@ from naturalspeech2_tpu.models.naturalspeech2 import NaturalSpeech2
 from naturalspeech2_tpu.parallel.mesh import make_mesh
 from naturalspeech2_tpu.trainer import Trainer, write_wav
 
+# integration-scale: runs in the full (CI) matrix; 'pytest -m "not slow"' is the fast default
+pytestmark = pytest.mark.slow
+
+
 
 def tiny_ns2():
     codec = SoundStream(

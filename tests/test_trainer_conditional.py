@@ -10,6 +10,10 @@ from naturalspeech2_tpu.trainer import Trainer
 
 from tests.test_conditional import cond_ns2
 
+# integration-scale: runs in the full (CI) matrix; 'pytest -m "not slow"' is the fast default
+pytestmark = pytest.mark.slow
+
+
 
 def cond_batches(b, audio_len, prompt_len, text_len):
     rng = np.random.RandomState(0)
