@@ -26,23 +26,39 @@ DIM = 128
 DEPTH = 6
 
 
-def build(platform):
+def build(platform, *, cfg=False, bf16=False):
+    """Build the denoise chain. ``cfg=True`` runs each step as the
+    batch-doubled classifier-free-guided forward (cond ‖ null in ONE call —
+    the headline sampling mode); ``bf16=True`` casts params and latents to
+    bfloat16 (the memory-bound sampling fast path)."""
     from naturalspeech2_tpu.models.denoiser import Model
     from naturalspeech2_tpu.ops.schedules import gamma_to_alpha_sigma, sigmoid_schedule
     from naturalspeech2_tpu.utils.helpers import safe_div
 
     device = jax.devices(platform)[0]
+    # Pallas paths only lower for the TPU backend; the CPU-baseline leg
+    # runs the structurally-identical XLA twins (same math, same tests).
+    # This is also why the old 0.37 fallback was a trap: the live CPU run
+    # silently crashed here and the fallback hid it.
     model = Model(
         dim=DIM, depth=DEPTH, heads=8, dim_head=64,
         use_flash_attn=(platform == "tpu"),
+        use_fused_wavenet=(platform == "tpu"),
     )
     with jax.default_device(device):
         x = jnp.zeros((BATCH, LENGTH, DIM), jnp.float32)
-        params = jax.device_put(
-            model.init(jax.random.PRNGKey(0), x, jnp.zeros((BATCH,))), device
-        )
+        params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((BATCH,)))
+        if bf16:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p,
+                params,
+            )
+        params = jax.device_put(params, device)
+        eval_batch = 2 * BATCH if cfg else BATCH
+        dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-        def denoise_chain(x0, n_steps):
+        def denoise_chain(params, x0, n_steps):
             times = jnp.linspace(1.0, 0.0, n_steps + 1)
             pairs = jnp.stack([times[:-1], times[1:]], -1)
 
@@ -51,36 +67,43 @@ def build(platform):
                 gamma, gamma_next = sigmoid_schedule(t), sigmoid_schedule(t_next)
                 alpha, sigma = gamma_to_alpha_sigma(gamma)
                 alpha_next, sigma_next = gamma_to_alpha_sigma(gamma_next)
-                out = model.apply(params, audio, jnp.broadcast_to(t, (BATCH,)))
-                x_start = alpha * audio - sigma * out  # v-objective
-                pred_noise = safe_div(audio - alpha * x_start, sigma)
-                return x_start * alpha_next + pred_noise * sigma_next, ()
+                net_in = (
+                    jnp.concatenate([audio, audio], axis=0) if cfg else audio
+                )
+                out = model.apply(
+                    params, net_in, jnp.broadcast_to(t, (eval_batch,))
+                ).astype(jnp.float32)
+                if cfg:
+                    cond_out, null_out = out[:BATCH], out[BATCH:]
+                    out = null_out + (cond_out - null_out) * 2.0
+                audio32 = audio.astype(jnp.float32)
+                x_start = alpha * audio32 - sigma * out  # v-objective
+                pred_noise = safe_div(audio32 - alpha * x_start, sigma)
+                nxt = x_start * alpha_next + pred_noise * sigma_next
+                return nxt.astype(dtype), ()
 
-            audio, _ = jax.lax.scan(body, x0, pairs)
-            return audio.sum()
+            audio, _ = jax.lax.scan(body, x0.astype(dtype), pairs)
+            return audio.astype(jnp.float32).sum()
 
-        return device, denoise_chain
+        return device, params, denoise_chain
 
 
-def measure(platform, n_steps, repeats):
-    device, chain = build(platform)
+def measure(platform, n_steps, repeats, *, cfg=False, bf16=False):
+    device, params, chain = build(platform, cfg=cfg, bf16=bf16)
     with jax.default_device(device):
-        fn = jax.jit(chain, static_argnums=1, device=device)
+        # params as jit ARGUMENTS (closure constants get embedded as HLO
+        # literals, which melts the remote compile service at scale)
+        fn = jax.jit(chain, static_argnums=2, device=device)
         x0 = jax.device_put(
             jax.random.normal(jax.random.PRNGKey(1), (BATCH, LENGTH, DIM)), device
         )
-        float(fn(x0, n_steps))  # compile + warm
+        float(fn(params, x0, n_steps))  # compile + warm
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(fn(x0, n_steps))
+            float(fn(params, x0, n_steps))
             best = min(best, (time.perf_counter() - t0) / n_steps)
     return 1.0 / best  # steps/sec
-
-
-# CPU baseline measured on this image (1-core host, same model/config):
-# ~0.37 denoise steps/sec. Used as fallback if the live CPU run fails.
-CPU_BASELINE_FALLBACK = 0.37
 
 
 def _retry(fn, attempts=2):
@@ -95,20 +118,32 @@ def _retry(fn, attempts=2):
 
 def main():
     tpu_steps_per_sec = _retry(lambda: measure("tpu", n_steps=50, repeats=3))
-    try:
-        cpu_steps_per_sec = measure("cpu", n_steps=2, repeats=2)
-    except Exception:
-        cpu_steps_per_sec = CPU_BASELINE_FALLBACK
+    cfg_steps_per_sec = _retry(
+        lambda: measure("tpu", n_steps=50, repeats=3, cfg=True)
+    )
+    bf16_steps_per_sec = _retry(
+        lambda: measure("tpu", n_steps=50, repeats=3, bf16=True)
+    )
+    # live CPU baseline of the identical architecture — the north-star's
+    # "CPU-reference sampling throughput". No silent fallback: if this
+    # cannot run, the benchmark result would be meaningless, so fail loudly.
+    cpu_steps_per_sec = measure("cpu", n_steps=2, repeats=2)
 
     vs_baseline = tpu_steps_per_sec / cpu_steps_per_sec
 
     print(
         json.dumps(
             {
-                "metric": "ddim denoise steps/sec/chip (dim128/depth6, b4xn1024)",
+                # per-step denoiser cost is identical for DDPM and DDIM
+                # (one forward + elementwise update); labelled per
+                # BASELINE.json's "DDPM denoise steps/sec" metric
+                "metric": "DDPM denoise steps/sec/chip (dim128/depth6, b4xn1024)",
                 "value": round(tpu_steps_per_sec, 2),
                 "unit": "steps/sec",
                 "vs_baseline": round(vs_baseline, 2),
+                "cfg_batch_doubled_steps_per_sec": round(cfg_steps_per_sec, 2),
+                "bf16_steps_per_sec": round(bf16_steps_per_sec, 2),
+                "cpu_baseline_steps_per_sec": round(cpu_steps_per_sec, 4),
             }
         )
     )

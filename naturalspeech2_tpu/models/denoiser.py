@@ -54,6 +54,11 @@ class Model(nn.Module):
     # per-layer rematerialization for training memory
     scan_layers: bool = False
     remat: bool = False
+    # self-conditioning: feed the previous x₀ estimate back as an input.
+    # The reference DECLARES this (`train_prob_self_cond`, ref :1179,1279)
+    # but never implements it (README TODO :157); here it's real — the
+    # estimate enters through a zero-init projection (exact no-op at init).
+    self_cond: bool = False
 
     @property
     def condition_dim_mult(self) -> int:
@@ -71,9 +76,18 @@ class Model(nn.Module):
         cond: Optional[jax.Array] = None,
         cond_drop_prob: Optional[float] = None,
         cond_drop_mask: Optional[jax.Array] = None,
+        x_self_cond: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
         b = x.shape[0]
+
+        if self.self_cond:
+            if x_self_cond is None:
+                x_self_cond = jnp.zeros_like(x)
+            x = x + nn.Dense(
+                self.dim, kernel_init=nn.initializers.zeros,
+                name="to_self_cond",
+            )(x_self_cond)
         dim_time = self.dim * self.dim_cond_mult
 
         if times.ndim == 0:
@@ -177,6 +191,7 @@ def forward_with_cond_scale(
     prompt_mask: Optional[jax.Array] = None,
     cond: Optional[jax.Array] = None,
     cond_scale: float = 1.0,
+    x_self_cond: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Classifier-free-guided forward (ref :914-927), fused:
 
@@ -192,7 +207,7 @@ def forward_with_cond_scale(
         return model.apply(
             variables, x, times,
             prompt=prompt, prompt_mask=prompt_mask, cond=cond,
-            cond_drop_mask=drop,
+            cond_drop_mask=drop, x_self_cond=x_self_cond,
         )
 
     def dbl(v):
@@ -204,7 +219,7 @@ def forward_with_cond_scale(
     out = model.apply(
         variables, dbl(x), dbl(times),
         prompt=dbl(prompt), prompt_mask=dbl(prompt_mask), cond=dbl(cond),
-        cond_drop_mask=drop,
+        cond_drop_mask=drop, x_self_cond=dbl(x_self_cond),
     )
     logits, null_logits = out[:b], out[b:]
     return null_logits + (logits - null_logits) * cond_scale

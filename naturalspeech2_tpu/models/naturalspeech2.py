@@ -56,6 +56,10 @@ class NaturalSpeech2(nn.Module):
     use_ddim: bool = True
     noise_schedule: str = "sigmoid"
     objective: str = "v"
+    # probability of feeding the model its own x₀ estimate during training
+    # (only active when model.self_cond=True). The reference declares this
+    # knob (:1179,1279) but never implements the mechanism (README TODO).
+    train_prob_self_cond: float = 0.9
     schedule_kwargs: Optional[dict] = None
     time_difference: float = 0.0
     min_snr_loss_weight: bool = True
@@ -232,8 +236,30 @@ class NaturalSpeech2(nn.Module):
         alpha, sigma = gamma_to_alpha_sigma(gamma, self.scale)
         noised = alpha * audio + sigma * noise
 
+        x_self_cond = None
+        if self.model.self_cond:
+            # with prob p, bootstrap an x₀ estimate (stop-grad, no
+            # self-cond input) and condition the real pass on it
+            use_sc = jax.random.bernoulli(
+                self.make_rng("self_cond"), self.train_prob_self_cond, (b,)
+            )
+            est = self.model(
+                noised, times, prompt=prompt_enc, cond=cond,
+                deterministic=deterministic,
+            )
+            if self.objective == "x0":
+                x0_est = est
+            elif self.objective == "eps":
+                x0_est = safe_div(noised - sigma * est, alpha)
+            else:
+                x0_est = alpha * noised - sigma * est
+            x_self_cond = jnp.where(
+                use_sc[:, None, None], jax.lax.stop_gradient(x0_est), 0.0
+            )
+
         pred = self.model(
             noised, times, prompt=prompt_enc, cond=cond,
+            x_self_cond=x_self_cond,
             deterministic=deterministic,
         )
 
@@ -446,28 +472,39 @@ def ddim_sample(
     objective: str = "v",
     scale: float = 1.0,
     time_difference: float = 0.0,
+    self_cond: bool = False,
 ) -> jax.Array:
     """DDIM sampler (ref :1379-1431) as one `lax.scan`.
 
-    ``denoise_fn(audio, times)`` is the (already CFG-fused) model forward.
-    """
+    ``denoise_fn(audio, times)`` is the (already CFG-fused) model forward;
+    with ``self_cond=True`` it is called as
+    ``denoise_fn(audio, times, x_self_cond)`` with the previous step's x₀
+    estimate (the mechanism the reference's vestigial ``last_latents``
+    :1321,1390 gestures at but never implements)."""
     audio0 = jax.random.normal(key, shape)
     pairs = get_sampling_time_pairs(timesteps)
 
-    def body(audio, pair):
+    def body(carry, pair):
+        audio, x_start_prev = carry
         t, t_next = pair[0], pair[1]
         gamma = gamma_schedule(t)
         gamma_next = gamma_schedule(jnp.clip(t_next - time_difference, min=0.0))
         alpha, sigma = gamma_to_alpha_sigma(gamma, scale)
         alpha_next, sigma_next = gamma_to_alpha_sigma(gamma_next, scale)
 
-        model_output = denoise_fn(audio, jnp.broadcast_to(t, (shape[0],)))
+        times = jnp.broadcast_to(t, (shape[0],))
+        if self_cond:
+            model_output = denoise_fn(audio, times, x_start_prev)
+        else:
+            model_output = denoise_fn(audio, times)
         x_start = _reconstruct_x0(objective, audio, model_output, alpha, sigma)
         pred_noise = safe_div(audio - alpha * x_start, sigma)
         audio = x_start * alpha_next + pred_noise * sigma_next
-        return audio, ()
+        return (audio, x_start), ()
 
-    audio, _ = jax.lax.scan(body, audio0, pairs)
+    (audio, _), _ = jax.lax.scan(
+        body, (audio0, jnp.zeros_like(audio0)), pairs
+    )
     return audio
 
 
@@ -481,6 +518,7 @@ def ddpm_sample(
     objective: str = "v",
     scale: float = 1.0,
     time_difference: float = 0.0,
+    self_cond: bool = False,
 ) -> jax.Array:
     """DDPM ancestral sampler (ref :1310-1377, with the `expm1`/mask-rank
     defects fixed) as one `lax.scan`."""
@@ -489,7 +527,8 @@ def ddpm_sample(
     pairs = get_sampling_time_pairs(timesteps)
     step_keys = jax.random.split(key, timesteps)
 
-    def body(audio, inputs):
+    def body(carry, inputs):
+        audio, x_start_prev = carry
         pair, step_key = inputs
         t = pair[0]
         t_next = jnp.clip(pair[1] - time_difference, min=0.0)
@@ -499,7 +538,11 @@ def ddpm_sample(
         alpha, sigma = gamma_to_alpha_sigma(gamma, scale)
         alpha_next, sigma_next = gamma_to_alpha_sigma(gamma_next, scale)
 
-        model_output = denoise_fn(audio, jnp.broadcast_to(t, (shape[0],)))
+        times = jnp.broadcast_to(t, (shape[0],))
+        if self_cond:
+            model_output = denoise_fn(audio, times, x_start_prev)
+        else:
+            model_output = denoise_fn(audio, times)
         x_start = _reconstruct_x0(objective, audio, model_output, alpha, sigma)
 
         log_snr = gamma_to_log_snr(gamma, scale)
@@ -514,9 +557,11 @@ def ddpm_sample(
             t_next > 0, jax.random.normal(step_key, audio.shape), 0.0
         )
         audio = mean + jnp.exp(0.5 * log_variance) * noise
-        return audio, ()
+        return (audio, x_start), ()
 
-    audio, _ = jax.lax.scan(body, audio0, (pairs, step_keys))
+    (audio, _), _ = jax.lax.scan(
+        body, (audio0, jnp.zeros_like(audio0)), (pairs, step_keys)
+    )
     return audio
 
 
@@ -560,10 +605,11 @@ def sample(
         )
         batch_size = prompt.shape[0]
 
-    def denoise_fn(audio, times):
+    def denoise_fn(audio, times, x_self_cond=None):
         return forward_with_cond_scale(
             ns2.model, model_vars, audio, times,
             prompt=prompt_enc, cond=cond, cond_scale=cond_scale,
+            x_self_cond=x_self_cond,
         )
 
     sampler = ddim_sample if ns2.use_ddim else ddpm_sample
@@ -576,6 +622,7 @@ def sample(
         objective=ns2.objective,
         scale=ns2.scale,
         time_difference=ns2.time_difference,
+        self_cond=ns2.model.self_cond,
     )
 
     if ns2.codec is not None:

@@ -137,7 +137,7 @@ class Trainer:
         key = jax.random.PRNGKey(self.seed)
         rngs = {
             name: key
-            for name in ("params", "times", "noise", "cfg", "dropout")
+            for name in ("params", "times", "noise", "cfg", "dropout", "self_cond")
         }
         micro = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x[: self.train_batch_size]), example_batch
@@ -219,6 +219,7 @@ class Trainer:
                 "noise": jax.random.fold_in(k, 1),
                 "cfg": jax.random.fold_in(k, 2),
                 "dropout": jax.random.fold_in(k, 3),
+                "self_cond": jax.random.fold_in(k, 4),
             }
             (loss, metrics), grads = jax.value_and_grad(
                 self._loss_fn, has_aux=True
