@@ -117,12 +117,15 @@ def _retry(fn, attempts=2):
 
 
 def main():
-    tpu_steps_per_sec = _retry(lambda: measure("tpu", n_steps=50, repeats=3))
+    # 200-step chains: real sampling runs 100-1000 steps in ONE scan, so
+    # the per-dispatch tunnel latency (~25 ms) must be amortized to noise
+    # (at 50 steps it inflated the per-step cost by ~0.5 ms)
+    tpu_steps_per_sec = _retry(lambda: measure("tpu", n_steps=200, repeats=3))
     cfg_steps_per_sec = _retry(
-        lambda: measure("tpu", n_steps=50, repeats=3, cfg=True)
+        lambda: measure("tpu", n_steps=200, repeats=3, cfg=True)
     )
     bf16_steps_per_sec = _retry(
-        lambda: measure("tpu", n_steps=50, repeats=3, bf16=True)
+        lambda: measure("tpu", n_steps=200, repeats=3, bf16=True)
     )
     # live CPU baseline of the identical architecture — the north-star's
     # "CPU-reference sampling throughput". No silent fallback: if this

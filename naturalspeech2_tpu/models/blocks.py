@@ -154,15 +154,20 @@ class FeedForward(nn.Module):
     dim: int
     mult: int = 4
     causal_conv: bool = False
+    # tanh-approximate gelu is the TPU-fast default: the exact erf form
+    # (torch F.gelu) costs ~28 µs per FFN on v5e (~9% of the flagship
+    # denoise step), while the measured flagship 100-step CFG latent MSE vs
+    # the exact-erf oracle is 1.8e-08 with the approximation (1.3e-12 with
+    # exact) — both five-plus orders inside the <1e-3 north star. Set
+    # False for bit-level reference parity (tests/test_reference_parity.py).
+    gelu_approximate: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         dim_inner = int(self.dim * self.mult * 2 / 3)
         x = nn.Dense(dim_inner * 2)(x)
         x, gate = jnp.split(x, 2, axis=-1)
-        # exact (erf) gelu: torch F.gelu default — keeps numerical parity
-        # with the reference; cost is negligible in a matmul-bound model
-        x = nn.gelu(gate, approximate=False) * x
+        x = nn.gelu(gate, approximate=self.gelu_approximate) * x
         if self.causal_conv:
             x = CausalConv1d(dim_inner, 3)(x)
         return nn.Dense(self.dim)(x)

@@ -36,6 +36,7 @@ class PerceiverResampler(nn.Module):
     heads: int = 8
     ff_mult: int = 4
     use_flash_attn: bool = False
+    gelu_approximate: bool = True  # False = exact erf (reference parity)
 
     @nn.compact
     def __call__(
@@ -64,9 +65,10 @@ class PerceiverResampler(nn.Module):
                 cross_attn_include_queries=True,
                 name=f"attn_{i}",
             )(latents, context=x, mask=mask, deterministic=deterministic) + latents
-            latents = FeedForward(self.dim, mult=self.ff_mult, name=f"ff_{i}")(
-                latents
-            ) + latents
+            latents = FeedForward(
+                self.dim, mult=self.ff_mult,
+                gelu_approximate=self.gelu_approximate, name=f"ff_{i}",
+            )(latents) + latents
 
         return RMSNorm(self.dim, name="norm")(latents)
 

@@ -95,6 +95,7 @@ class Transformer(nn.Module):
     dropout: float = 0.0
     ff_mult: int = 4
     final_norm: bool = False
+    gelu_approximate: bool = True  # False = exact erf (reference parity)
 
     @nn.compact
     def __call__(
@@ -117,7 +118,10 @@ class Transformer(nn.Module):
                 name=f"attn_{i}",
             )(attn_in, mask=mask, deterministic=deterministic) + x
             ff_in = RMSNorm(self.dim, name=f"ff_norm_{i}")(x)
-            x = FeedForward(self.dim, mult=self.ff_mult, name=f"ff_{i}")(ff_in) + x
+            x = FeedForward(
+                self.dim, mult=self.ff_mult,
+                gelu_approximate=self.gelu_approximate, name=f"ff_{i}",
+            )(ff_in) + x
 
         if self.final_norm:
             x = RMSNorm(self.dim, name="final_norm")(x)
@@ -139,6 +143,7 @@ class _CTLayer(nn.Module):
     cross_attn: bool
     use_flash: bool
     deterministic: bool = True
+    gelu_approximate: bool = True
 
     @nn.compact
     def __call__(self, x, xs):
@@ -177,7 +182,7 @@ class _CTLayer(nn.Module):
         x = norm(x, 2 if self.cross_attn else 1, "ff_norm")
         x = FeedForward(
             self.dim, mult=self.ff_mult, causal_conv=self.ff_causal_conv,
-            name="ff",
+            gelu_approximate=self.gelu_approximate, name="ff",
         )(x) + res
         return x, ()
 
@@ -207,6 +212,7 @@ class ConditionableTransformer(nn.Module):
     use_flash: bool = False
     scan_layers: bool = False
     remat: bool = False
+    gelu_approximate: bool = True  # False = exact erf (reference parity)
 
     @nn.compact
     def __call__(
@@ -295,7 +301,7 @@ class ConditionableTransformer(nn.Module):
             x = maybe_norm(x, f"ff_norm_{i}", base + norms_per_layer - 1)
             x = FeedForward(
                 self.dim, mult=self.ff_mult, causal_conv=self.ff_causal_conv,
-                name=f"ff_{i}",
+                gelu_approximate=self.gelu_approximate, name=f"ff_{i}",
             )(x) + res
 
         x = RMSNorm(self.dim, name="pred_norm")(x)
@@ -336,6 +342,7 @@ class ConditionableTransformer(nn.Module):
             cross_attn=self.cross_attn,
             use_flash=self.use_flash,
             deterministic=deterministic,
+            gelu_approximate=self.gelu_approximate,
             name="layers",
         )(x, (ada_xs, context))
         return x

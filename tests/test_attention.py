@@ -318,3 +318,29 @@ def test_threefry_uniformity():
     flat = u.ravel()
     corr = np.corrcoef(flat[:-1], flat[1:])[0, 1]
     assert abs(corr) < 0.05
+
+
+@pytest.mark.slow
+def test_flash_multiblock_online_softmax_path():
+    """n_kv > max block forces the online-softmax (multi-kv-block) kernel;
+    it must match XLA (incl. mask + grads) — the one-shot fast path covers
+    n_kv ≤ 1024, so this guards the blockwise machinery."""
+    key = jax.random.PRNGKey(17)
+    q = jax.random.normal(key, (1, 2, 256, 16))
+    k = jax.random.normal(jax.random.fold_in(key, 1), (1, 2, 1536, 16))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (1, 2, 1536, 16))
+    mask = jnp.arange(1536)[None, :] < 1200
+    out = flash_attention(q, k, v, mask=mask)
+    ref = attend_xla(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(flash_attention(q_, k_, v_, mask=mask) ** 2)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(attend_xla(q_, k_, v_, mask=mask) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)

@@ -45,7 +45,7 @@ def cond_model():
         wavenet_stacks=CFG["wavenet_stacks"], dim_prompt=CFG["dim_prompt"],
         num_latents_m=4, resampler_depth=CFG["resampler_depth"],
         condition_on_prompt=True, use_flash_attn=False,
-        use_fused_wavenet=False,
+        use_fused_wavenet=False, gelu_approximate=False,
     )
     key = jax.random.PRNGKey(0)
     kx, kp, kc, ki = jax.random.split(key, 4)
@@ -74,7 +74,7 @@ def test_wavenet_parity():
 def test_conditionable_transformer_parity():
     tr = ConditionableTransformer(
         dim=32, depth=2, dim_head=16, heads=2, ff_causal_conv=True,
-        dim_cond_mult=4, cross_attn=True,
+        dim_cond_mult=4, cross_attn=True, gelu_approximate=False,
     )
     key = jax.random.PRNGKey(2)
     x = jax.random.normal(key, (2, 48, 32))
@@ -92,7 +92,8 @@ def test_conditionable_transformer_parity():
 
 def test_perceiver_resampler_parity():
     pr = PerceiverResampler(
-        dim=32, depth=2, dim_context=24, num_latents=4, dim_head=16, heads=2
+        dim=32, depth=2, dim_context=24, num_latents=4, dim_head=16, heads=2,
+        gelu_approximate=False,
     )
     key = jax.random.PRNGKey(3)
     x = jax.random.normal(key, (2, 13, 24))
@@ -160,6 +161,7 @@ def test_unconditional_model_parity():
     model = Model(
         dim=32, depth=2, heads=2, dim_head=16, wavenet_layers=2,
         wavenet_stacks=2, use_flash_attn=False, use_fused_wavenet=False,
+        gelu_approximate=False,
     )
     key = jax.random.PRNGKey(5)
     x = jax.random.normal(key, (2, 48, 32))
@@ -264,6 +266,7 @@ def test_flagship_100step_cfg_parity():
         wavenet_stacks=4, dim_prompt=512, num_latents_m=32,
         resampler_depth=2, condition_on_prompt=True,
         use_flash_attn=False, use_fused_wavenet=False,
+        gelu_approximate=False,
     )
     key = jax.random.PRNGKey(42)
     kp, kc, ki, ks = jax.random.split(key, 4)
@@ -296,3 +299,46 @@ def test_flagship_100step_cfg_parity():
     mse = _mse(mine, ref)
     print(f"flagship 100-step CFG latent MSE: {mse:.3e}")
     assert mse < 1e-3, f"latent MSE {mse} vs north-star 1e-3"
+
+
+def test_default_config_still_meets_north_star():
+    """The DEFAULT model (tanh-approximate gelu — the TPU-fast setting)
+    must still satisfy the <1e-3 latent-MSE north star against the
+    exact-erf reference oracle. (Measured at flagship dims: 1.8e-08 vs
+    1.3e-12 for exact; see FeedForward.gelu_approximate.)"""
+    model = Model(
+        dim=CFG["dim"], depth=CFG["depth"], heads=CFG["heads"],
+        dim_head=CFG["dim_head"], wavenet_layers=CFG["wavenet_layers"],
+        wavenet_stacks=CFG["wavenet_stacks"], dim_prompt=CFG["dim_prompt"],
+        num_latents_m=4, resampler_depth=CFG["resampler_depth"],
+        condition_on_prompt=True, use_flash_attn=False,
+        use_fused_wavenet=False,  # default gelu_approximate=True
+    )
+    key = jax.random.PRNGKey(21)
+    kx, kp, kc, ki = jax.random.split(key, 4)
+    prompt = jax.random.normal(kp, (2, 11, CFG["dim_prompt"]))
+    cond = jax.random.normal(kc, (2, 37, CFG["dim_prompt"]))
+    x = jax.random.normal(kx, (2, 48, CFG["dim"]))
+    variables = model.init(
+        ki, x, jnp.array([0.5, 0.5]), prompt=prompt, cond=cond,
+        cond_drop_mask=jnp.zeros((2,), bool),
+    )
+
+    def denoise_fn(audio, ts):
+        return forward_with_cond_scale(
+            model, variables, audio, ts,
+            prompt=prompt, cond=cond, cond_scale=2.0,
+        )
+
+    skey = jax.random.PRNGKey(22)
+    mine = ddim_sample(
+        denoise_fn, skey, (2, 48, CFG["dim"]), timesteps=20,
+        gamma_schedule=sigmoid_schedule, objective="v",
+    )
+    audio0 = np.asarray(jax.random.normal(skey, (2, 48, CFG["dim"])))
+    ref = oracle.ddim_sample(
+        variables["params"], CFG, audio0, timesteps=20, cond_scale=2.0,
+        objective="v", prompt=np.asarray(prompt), cond=np.asarray(cond),
+    )
+    mse = _mse(mine, ref)
+    assert mse < 1e-3, f"default-config latent MSE {mse} vs north-star 1e-3"
