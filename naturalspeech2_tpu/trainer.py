@@ -79,6 +79,7 @@ class Trainer:
         sample_length: int = 1024,
         mesh=None,
         seed: int = 0,
+        checkpoint_backend: str = "msgpack",
     ):
         self.ns2 = diffusion_model
         self.train_batch_size = train_batch_size
@@ -94,6 +95,8 @@ class Trainer:
         self.remat = remat
         self.sample_length = sample_length
         self.seed = seed
+        assert checkpoint_backend in ("msgpack", "orbax"), checkpoint_backend
+        self.checkpoint_backend = checkpoint_backend
 
         target_hz = self.ns2.sample_hz
         if data_max_length is None and data_max_length_seconds is not None:
@@ -284,13 +287,25 @@ class Trainer:
             "ema_params": flax.serialization.to_state_dict(self.state.ema_params),
             "version": __version__,
         }
+        if self.checkpoint_backend == "orbax":
+            # Orbax PyTree checkpoint: sharded/parallel-IO directory format
+            # (SURVEY §5.4's "Orbax-style" alternative to the single file)
+            import orbax.checkpoint as ocp
+
+            path = (self.results_folder / f"model-{milestone}.orbax").absolute()
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(path, payload, force=True)
+            return str(path)
         path = self.results_folder / f"model-{milestone}.ckpt"
         path.write_bytes(flax.serialization.msgpack_serialize(payload))
         return str(path)
 
     def latest_checkpoint(self) -> Optional[str]:
         ckpts = sorted(
-            self.results_folder.glob("model-*.ckpt"),
+            [
+                *self.results_folder.glob("model-*.ckpt"),
+                *self.results_folder.glob("model-*.orbax"),
+            ],
             key=lambda p: p.stat().st_mtime,
         )
         return str(ckpts[-1]) if ckpts else None
@@ -299,7 +314,14 @@ class Trainer:
         assert self.state is not None, "call init_state first"
         from naturalspeech2_tpu.parallel.tp import shard_state
 
-        payload = flax.serialization.msgpack_restore(Path(path).read_bytes())
+        if str(path).endswith(".orbax"):
+            import orbax.checkpoint as ocp
+
+            payload = ocp.PyTreeCheckpointer().restore(
+                str(Path(path).absolute())
+            )
+        else:
+            payload = flax.serialization.msgpack_restore(Path(path).read_bytes())
         self.state = TrainState(
             step=jnp.asarray(payload["step"]),
             params=flax.serialization.from_state_dict(

@@ -3,6 +3,7 @@ the latest checkpoint automatically."""
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from naturalspeech2_tpu.parallel.mesh import make_mesh
@@ -15,7 +16,7 @@ pytestmark = pytest.mark.slow
 
 
 
-def make_trainer(tmp_path, steps):
+def make_trainer(tmp_path, steps, backend="msgpack"):
     return Trainer(
         tiny_ns2(),
         batches=batch_iter(4, 640),
@@ -25,6 +26,7 @@ def make_trainer(tmp_path, steps):
         sample_length=2,
         results_folder=str(tmp_path),
         mesh=make_mesh(n_data=4, devices=jax.devices()[:4]),
+        checkpoint_backend=backend,
     )
 
 
@@ -38,3 +40,27 @@ def test_auto_resume(tmp_path):
     t2 = make_trainer(tmp_path, steps=4)
     t2.train(log_every=1)
     assert int(t2.state.step) == 4
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """checkpoint_backend='orbax' saves a directory checkpoint that resumes
+    identically to the msgpack path (sharding re-applied by load)."""
+    t = make_trainer(tmp_path, steps=2, backend="orbax")
+    batch = next(t.batches)
+    state = t.init_state(batch)
+    step = t.build_train_step()
+    b = jnp.asarray(batch).reshape(1, 4, -1)
+    t.state, _ = step(t.state, b, jax.random.PRNGKey(0))
+    path = t.save(1)
+    assert path.endswith(".orbax")
+
+    t2 = make_trainer(tmp_path, steps=2, backend="orbax")
+    t2.init_state(batch)
+    assert t2.latest_checkpoint() == path
+    t2.load(path)
+    assert int(t2.state.step) == int(t.state.step)
+    for a, c in zip(
+        jax.tree_util.tree_leaves(t.state.params),
+        jax.tree_util.tree_leaves(t2.state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=0)
