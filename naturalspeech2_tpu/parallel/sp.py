@@ -141,3 +141,103 @@ def ulysses_attend(
         in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
         out_specs=qkv_spec,
     )(q, k, v, mask)
+
+
+def ring_attend(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mesh: Mesh,
+    axis: str = "data",
+    mask: Optional[jax.Array] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Ring attention (Liu et al. 2023): keys/values circulate around the
+    device ring via `ppermute` while each shard's queries accumulate
+    online-softmax statistics hop by hop.
+
+    Unlike `sp_attend`, NOTHING is ever fully gathered: per-device memory
+    is O(n/P) for activations AND communication buffers, which is what
+    >100k-frame contexts need. Communication totals the same O(n·d) bytes
+    but overlaps hop-by-hop with compute on the ICI ring.
+
+    q/k/v: global ``[b, h, n, d]`` logically, sharded over ``axis`` on the
+    sequence dim; mask: ``[b, n]`` key-padding mask. Returns ``[b, h, n,
+    d]`` sequence-sharded. Supports causal masking via global positions.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    b, h, n, d = q.shape
+    p = mesh.shape[axis]
+    assert n % p == 0, f"sequence {n} must divide over {axis}={p}"
+    n_local = n // p
+
+    qkv_spec = P(None, None, axis, None)
+    mask_spec = P(None, axis)
+    has_mask = mask is not None
+    if not has_mask:
+        mask = jnp.ones((b, n), dtype=bool)
+
+    perm = [(i, (i + 1) % p) for i in range(p)]
+
+    def local(q_l, k_l, v_l, mask_l):
+        shard = jax.lax.axis_index(axis)
+        row = shard * n_local + jnp.arange(n_local)  # global query rows
+
+        # pvary: the accumulators are per-shard values (they will depend on
+        # axis_index through the hop), so mark them varying over the mesh
+        # axis up front — otherwise the scan carry types mismatch
+        m0 = jax.lax.pvary(
+            jnp.full((b, h, n_local), NEG_INF, jnp.float32), axis
+        )
+        l0 = jax.lax.pvary(jnp.zeros((b, h, n_local), jnp.float32), axis)
+        acc0 = jax.lax.pvary(
+            jnp.zeros((b, h, n_local, d), jnp.float32), axis
+        )
+
+        def hop(carry, hop_idx):
+            m, l, acc, k_cur, v_cur, mask_cur = carry
+            # kv chunk currently held came from shard (shard - hop) mod P
+            src = (shard - hop_idx) % p
+            col = src * n_local + jnp.arange(n_local)  # global key cols
+
+            s = jnp.einsum(
+                "bhid,bhjd->bhij", q_l, k_cur,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            valid = jnp.broadcast_to(
+                mask_cur[:, None, None, :], s.shape
+            )
+            if causal:
+                valid = valid & (row[:, None] >= col[None, :])[None, None]
+            s = jnp.where(valid, s, NEG_INF)
+
+            m_new = jnp.maximum(m, s.max(axis=-1))
+            # explicit zero for invalid entries (NEG_INF is finite — same
+            # fully-masked-row guard as the flash kernel)
+            p_ = jnp.where(valid, jnp.exp(s - m_new[..., None]), 0.0)
+            corr = jnp.exp(m - m_new)
+            l = l * corr + p_.sum(axis=-1)
+            acc = acc * corr[..., None] + jnp.einsum(
+                "bhij,bhjd->bhid", p_.astype(v_cur.dtype), v_cur,
+                preferred_element_type=jnp.float32,
+            )
+
+            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+            mask_nxt = jax.lax.ppermute(mask_cur, axis, perm)
+            return (m_new, l, acc, k_nxt, v_nxt, mask_nxt), ()
+
+        (m, l, acc, _, _, _), _ = jax.lax.scan(
+            hop, (m0, l0, acc0, k_l, v_l, mask_l), jnp.arange(p)
+        )
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        return (acc / safe_l[..., None]).astype(q_l.dtype)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
+        out_specs=qkv_spec,
+    )(q, k, v, mask)

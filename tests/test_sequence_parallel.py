@@ -102,3 +102,56 @@ def test_ulysses_attend_masked_causal(mesh):
     out = ulysses_attend(q, q, q, mesh=mesh, mask=mask, causal=True)
     ref = attend_xla(q, q, q, mask=mask, causal=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+# ------------------------------ ring attention -------------------------- #
+
+
+def test_ring_attend_matches_full(mesh):
+    from naturalspeech2_tpu.parallel.sp import ring_attend
+
+    q = jax.random.normal(KEY, (2, 4, 64, 16))
+    k = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 64, 16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 64, 16))
+    out = ring_attend(q, k, v, mesh=mesh)
+    ref = attend_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_attend_masked(mesh):
+    from naturalspeech2_tpu.parallel.sp import ring_attend
+
+    q = jax.random.normal(KEY, (2, 2, 64, 8))
+    mask = jnp.arange(64)[None, :] < jnp.array([40, 64])[:, None]
+    out = ring_attend(q, q, q, mesh=mesh, mask=mask)
+    ref = attend_xla(q, q, q, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_attend_causal(mesh):
+    from naturalspeech2_tpu.parallel.sp import ring_attend
+
+    q = jax.random.normal(KEY, (1, 2, 64, 8))
+    out = ring_attend(q, q, q, mesh=mesh, causal=True)
+    ref = attend_xla(q, q, q, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_attend_fully_masked_batch_row(mesh):
+    from naturalspeech2_tpu.parallel.sp import ring_attend
+
+    q = jax.random.normal(KEY, (2, 2, 64, 8))
+    mask = jnp.ones((2, 64), bool).at[1].set(False)
+    out = ring_attend(q, q, q, mesh=mesh, mask=mask)
+    assert float(jnp.abs(out[1]).max()) == 0.0
+
+
+def test_ring_attend_output_stays_sharded(mesh):
+    from naturalspeech2_tpu.parallel.sp import ring_attend
+
+    q = jax.device_put(
+        jax.random.normal(KEY, (1, 2, 64, 8)),
+        NamedSharding(mesh, P(None, None, "data", None)),
+    )
+    out = jax.jit(lambda q: ring_attend(q, q, q, mesh=mesh))(q)
+    assert out.sharding.spec == P(None, None, "data", None)
