@@ -16,11 +16,69 @@ improvement over the reference's uniform Linear init).
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def ada_rmsnorm(
+    x: jax.Array, gamma: jax.Array, beta: jax.Array, dim: int
+) -> jax.Array:
+    """Adaptive RMSNorm ``x/‖x‖·√d·γ+β`` with per-sample [b, d] γ/β —
+    the ConditionableTransformer norm (ref :744-746). Shared by the fused
+    attention/FF block kernels and their unfused fallbacks."""
+    norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    x = x / jnp.maximum(norm, 1e-12) * math.sqrt(dim)
+    return x * gamma[:, None, :] + beta[:, None, :]
+
+
+class _DenseParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense``: identical param paths
+    (``<name>/kernel``, ``<name>/bias``), shapes and inits, but returns the
+    raw arrays so callers can either matmul them (bit-identical to Dense)
+    or hand them to a fused Pallas kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, dim_in: int) -> Tuple[jax.Array, jax.Array]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (dim_in, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Conv`` (1-D)."""
+
+    kernel_size: int
+    features: int
+
+    @nn.compact
+    def __call__(self, dim_in: int) -> Tuple[jax.Array, jax.Array]:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel_size, dim_in, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _CausalConvParams(nn.Module):
+    """Parameter tree twin of `CausalConv1d` (child ``Conv_0``)."""
+
+    kernel_size: int
+    features: int
+
+    @nn.compact
+    def __call__(self, dim_in: int) -> Tuple[jax.Array, jax.Array]:
+        return _ConvParams(
+            self.kernel_size, self.features, name="Conv_0"
+        )(dim_in)
 
 
 class RMSNorm(nn.Module):
@@ -161,13 +219,59 @@ class FeedForward(nn.Module):
     # exact) — both five-plus orders inside the <1e-3 north star. Set
     # False for bit-level reference parity (tests/test_reference_parity.py).
     gelu_approximate: bool = True
+    # route pre-norm residual blocks to the fused Pallas kernel
+    # (`ops.ff_block_kernel`) — one launch for norm+GEGLU+conv+out+residual
+    use_fused: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        pre_norm: Optional[Tuple[jax.Array, jax.Array]] = None,
+        residual: bool = False,
+    ) -> jax.Array:
+        """``pre_norm=(γ, β)`` ([b, dim] each) applies the adaptive RMSNorm
+        inside this module and ``residual=True`` adds the raw input back —
+        the denoiser-layer configuration that fuses into one kernel."""
         dim_inner = int(self.dim * self.mult * 2 / 3)
-        x = nn.Dense(dim_inner * 2)(x)
+        raw_x = x
+
+        w1, b1 = _DenseParams(dim_inner * 2, name="Dense_0")(x.shape[-1])
+        wc = bc = None
+        if self.causal_conv:
+            wc, bc = _CausalConvParams(3, dim_inner, name="CausalConv1d_0")(
+                dim_inner
+            )
+        w2, b2 = _DenseParams(self.dim, name="Dense_1")(dim_inner)
+
+        if (
+            pre_norm is not None
+            and residual
+            and self.use_fused
+            and self.causal_conv
+            and self.gelu_approximate
+        ):
+            from naturalspeech2_tpu.ops.ff_block_kernel import (
+                fits_fused_ff_block,
+                fused_ff_block,
+            )
+
+            if fits_fused_ff_block(x.shape[1], self.dim, dim_inner):
+                return fused_ff_block(
+                    x, pre_norm[0], pre_norm[1], w1, b1, wc, bc, w2, b2,
+                    approximate=True,
+                )
+
+        if pre_norm is not None:
+            x = ada_rmsnorm(x, pre_norm[0], pre_norm[1], self.dim)
+
+        x = x @ w1 + b1
         x, gate = jnp.split(x, 2, axis=-1)
         x = nn.gelu(gate, approximate=self.gelu_approximate) * x
         if self.causal_conv:
-            x = CausalConv1d(dim_inner, 3)(x)
-        return nn.Dense(self.dim)(x)
+            x = jax.lax.conv_general_dilated(
+                x, wc, (1,), [(2, 0)],
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ) + bc
+        x = x @ w2 + b2
+        return x + raw_x if residual else x

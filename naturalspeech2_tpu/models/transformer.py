@@ -15,13 +15,31 @@ prepended query positions, so masked cross-attention works.
 
 from __future__ import annotations
 
-from typing import Optional
+import math
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
 from naturalspeech2_tpu.ops.attention import attend
+
+
+class _ProjParams(nn.Module):
+    """Parameter-only stand-in for ``nn.Dense(use_bias=False)``: identical
+    param path (``<name>/kernel``), shape and lecun-normal init, but returns
+    the raw kernel so the caller can either matmul it (the standard path —
+    numerically identical to Dense) or hand it to a fused Pallas kernel."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, dim_in: int) -> jax.Array:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (dim_in, self.features),
+        )
 
 
 class Attention(nn.Module):
@@ -41,9 +59,50 @@ class Attention(nn.Module):
         context: Optional[jax.Array] = None,
         mask: Optional[jax.Array] = None,
         deterministic: bool = True,
+        pre_norm: Optional[Tuple[jax.Array, jax.Array]] = None,
+        residual: bool = False,
     ) -> jax.Array:
+        """``pre_norm=(γ, β)`` ([b, dim] each) applies the adaptive RMSNorm
+        inside this module and ``residual=True`` adds the raw input back —
+        letting the whole pre-norm block fuse into ONE Pallas kernel
+        (`ops.attn_block_kernel`) on the mask-free non-causal self-attention
+        path (the denoiser sampling hot loop)."""
         h = self.heads
         has_context = context is not None
+        raw_x = x
+        dim_inner = self.dim_head * h
+
+        wq = _ProjParams(dim_inner, name="to_q")(x.shape[-1])
+        ctx_dim = context.shape[-1] if has_context else x.shape[-1]
+        wkv = _ProjParams(dim_inner * 2, name="to_kv")(ctx_dim)
+        wo = _ProjParams(self.dim, name="to_out")(dim_inner)
+
+        dropout_active = self.dropout > 0.0 and not deterministic
+
+        if pre_norm is not None and residual and not has_context:
+            from naturalspeech2_tpu.ops.attn_block_kernel import (
+                fits_fused_attn_block,
+                fused_attn_block,
+            )
+
+            if (
+                self.use_flash
+                and mask is None
+                and not self.causal
+                and not dropout_active
+                and fits_fused_attn_block(x.shape[1], self.dim, self.dim_head)
+            ):
+                return fused_attn_block(
+                    x, pre_norm[0], pre_norm[1], wq, wkv, wo,
+                    heads=h, dim_head=self.dim_head,
+                    scale=self.dim_head**-0.5,
+                )
+
+        if pre_norm is not None:
+            from naturalspeech2_tpu.models.blocks import ada_rmsnorm
+
+            x = ada_rmsnorm(x, pre_norm[0], pre_norm[1], self.dim)
+
         ctx = context if has_context else x
 
         if has_context and self.cross_attn_include_queries:
@@ -53,9 +112,8 @@ class Attention(nn.Module):
                     mask, ((0, 0), (x.shape[-2], 0)), constant_values=True
                 )
 
-        dim_inner = self.dim_head * h
-        q = nn.Dense(dim_inner, use_bias=False, name="to_q")(x)
-        kv = nn.Dense(dim_inner * 2, use_bias=False, name="to_kv")(ctx)
+        q = x @ wq
+        kv = ctx @ wkv
         k, v = jnp.split(kv, 2, axis=-1)
 
         def split_heads(t):
@@ -65,7 +123,7 @@ class Attention(nn.Module):
         q, k, v = map(split_heads, (q, k, v))
 
         dropout_key = None
-        if self.dropout > 0.0 and not deterministic:
+        if dropout_active:
             dropout_key = self.make_rng("dropout")
 
         out = attend(
@@ -80,7 +138,8 @@ class Attention(nn.Module):
 
         b, _, n, _ = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, dim_inner)
-        return nn.Dense(self.dim, use_bias=False, name="to_out")(out)
+        out = out @ wo
+        return out + raw_x if residual else out
 
 
 class Transformer(nn.Module):
@@ -163,12 +222,24 @@ class _CTLayer(nn.Module):
             beta = ada[idx, :, None, self.dim :]
             return h * gamma + beta
 
-        res = x
-        x = norm(x, 0, "attn_norm")
-        x = Attention(
-            dim=self.dim, dim_head=self.dim_head, heads=self.heads,
-            use_flash=self.use_flash, name="attn",
-        )(x, deterministic=self.deterministic) + res
+        if self.cond:
+            # norm + residual handed to Attention so the whole pre-norm
+            # self-attention block can run as one fused Pallas kernel
+            x = Attention(
+                dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                use_flash=self.use_flash, name="attn",
+            )(
+                x, deterministic=self.deterministic,
+                pre_norm=(ada[0, :, : self.dim], ada[0, :, self.dim :]),
+                residual=True,
+            )
+        else:
+            res = x
+            x = norm(x, 0, "attn_norm")
+            x = Attention(
+                dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                use_flash=self.use_flash, name="attn",
+            )(x, deterministic=self.deterministic) + res
 
         if self.cross_attn:
             res = x
@@ -178,12 +249,24 @@ class _CTLayer(nn.Module):
                 use_flash=self.use_flash, name="cross_attn",
             )(x, context=context, deterministic=self.deterministic) + res
 
-        res = x
-        x = norm(x, 2 if self.cross_attn else 1, "ff_norm")
-        x = FeedForward(
-            self.dim, mult=self.ff_mult, causal_conv=self.ff_causal_conv,
-            gelu_approximate=self.gelu_approximate, name="ff",
-        )(x) + res
+        if self.cond:
+            idx = 2 if self.cross_attn else 1
+            x = FeedForward(
+                self.dim, mult=self.ff_mult, causal_conv=self.ff_causal_conv,
+                gelu_approximate=self.gelu_approximate,
+                use_fused=self.use_flash, name="ff",
+            )(
+                x,
+                pre_norm=(ada[idx, :, : self.dim], ada[idx, :, self.dim :]),
+                residual=True,
+            )
+        else:
+            res = x
+            x = norm(x, 2 if self.cross_attn else 1, "ff_norm")
+            x = FeedForward(
+                self.dim, mult=self.ff_mult, causal_conv=self.ff_causal_conv,
+                gelu_approximate=self.gelu_approximate, name="ff",
+            )(x) + res
         return x, ()
 
 
@@ -275,15 +358,29 @@ class ConditionableTransformer(nn.Module):
 
         for i in range(self.depth):
             base = i * norms_per_layer
-            res = x
-            x = maybe_norm(x, f"attn_norm_{i}", base)
-            x = Attention(
-                dim=self.dim,
-                dim_head=self.dim_head,
-                heads=self.heads,
-                use_flash=self.use_flash,
-                name=f"attn_{i}",
-            )(x, deterministic=deterministic) + res
+            if cond:
+                # fused pre-norm self-attention block (norm+residual inside)
+                x = Attention(
+                    dim=self.dim,
+                    dim_head=self.dim_head,
+                    heads=self.heads,
+                    use_flash=self.use_flash,
+                    name=f"attn_{i}",
+                )(
+                    x, deterministic=deterministic,
+                    pre_norm=(ada[:, base, : self.dim], ada[:, base, self.dim :]),
+                    residual=True,
+                )
+            else:
+                res = x
+                x = maybe_norm(x, f"attn_norm_{i}", base)
+                x = Attention(
+                    dim=self.dim,
+                    dim_head=self.dim_head,
+                    heads=self.heads,
+                    use_flash=self.use_flash,
+                    name=f"attn_{i}",
+                )(x, deterministic=deterministic) + res
 
             if self.cross_attn:
                 assert context is not None
@@ -297,12 +394,26 @@ class ConditionableTransformer(nn.Module):
                     name=f"cross_attn_{i}",
                 )(x, context=context, deterministic=deterministic) + res
 
-            res = x
-            x = maybe_norm(x, f"ff_norm_{i}", base + norms_per_layer - 1)
-            x = FeedForward(
-                self.dim, mult=self.ff_mult, causal_conv=self.ff_causal_conv,
-                gelu_approximate=self.gelu_approximate, name=f"ff_{i}",
-            )(x) + res
+            if cond:
+                idx = base + norms_per_layer - 1
+                x = FeedForward(
+                    self.dim, mult=self.ff_mult,
+                    causal_conv=self.ff_causal_conv,
+                    gelu_approximate=self.gelu_approximate,
+                    use_fused=self.use_flash, name=f"ff_{i}",
+                )(
+                    x,
+                    pre_norm=(ada[:, idx, : self.dim], ada[:, idx, self.dim :]),
+                    residual=True,
+                )
+            else:
+                res = x
+                x = maybe_norm(x, f"ff_norm_{i}", base + norms_per_layer - 1)
+                x = FeedForward(
+                    self.dim, mult=self.ff_mult,
+                    causal_conv=self.ff_causal_conv,
+                    gelu_approximate=self.gelu_approximate, name=f"ff_{i}",
+                )(x) + res
 
         x = RMSNorm(self.dim, name="pred_norm")(x)
         return nn.Dense(self.dim, use_bias=False, name="to_pred")(x)
