@@ -15,6 +15,7 @@ single student step land exactly where the teacher's two half-steps do.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -135,35 +136,93 @@ class ProgressiveDistiller:
         num_student_steps: int,
         n_updates: int,
         seed: int = 0,
+        updates_per_jit: int = 1,
     ):
+        """One halving round. ``updates_per_jit > 1`` runs that many
+        updates per dispatch under one `lax.scan` (stacked data batches) —
+        essential through a high-latency device tunnel where per-call
+        dispatch would otherwise dominate the tiny per-update compute."""
         student_params = jax.tree_util.tree_map(
             jnp.copy, self.teacher_params
         )  # student initialised from teacher
         opt_state = self.optimizer.init(student_params)
 
-        @jax.jit
-        def update(student_params, opt_state, x_data, key):
-            loss, grads = jax.value_and_grad(
-                lambda p: distillation_loss(
-                    self.model, p, self.teacher_params, x_data, key,
-                    num_student_steps=num_student_steps,
-                    gamma_schedule=self.ns2.gamma_schedule,
-                    scale=self.ns2.scale,
-                )
-            )(student_params)
-            updates, opt_state = self.optimizer.update(
-                grads, opt_state, student_params
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def update_chunk(student_params, opt_state, xs, keys):
+            def step(carry, inp):
+                sp, os_ = carry
+                x_data, key = inp
+                loss, grads = jax.value_and_grad(
+                    lambda p: distillation_loss(
+                        self.model, p, self.teacher_params, x_data, key,
+                        num_student_steps=num_student_steps,
+                        gamma_schedule=self.ns2.gamma_schedule,
+                        scale=self.ns2.scale,
+                    )
+                )(sp)
+                updates, os_ = self.optimizer.update(grads, os_, sp)
+                return (optax.apply_updates(sp, updates), os_), loss
+
+            (sp, os_), losses = jax.lax.scan(
+                step, (student_params, opt_state), (xs, keys)
             )
-            return optax.apply_updates(student_params, updates), opt_state, loss
+            return sp, os_, losses[-1]
 
         key = jax.random.PRNGKey(seed)
         loss = None
-        for _ in range(n_updates):
-            key, k = jax.random.split(key)
-            x = jnp.asarray(next(latent_batches))
-            student_params, opt_state, loss = update(
-                student_params, opt_state, x, k
+        done = 0
+        chunk = max(1, updates_per_jit)
+        while done < n_updates:
+            m = min(chunk, n_updates - done)
+            xs = jnp.stack(
+                [jnp.asarray(next(latent_batches)) for _ in range(m)]
             )
+            key, k = jax.random.split(key)
+            student_params, opt_state, loss = update_chunk(
+                student_params, opt_state, xs, jax.random.split(k, m)
+            )
+            done += m
         self.teacher_params = student_params  # ready for the next halving
         self.last_loss = float(loss) if loss is not None else None
         return student_params
+
+    def run_schedule(
+        self,
+        latent_batches,
+        *,
+        start_steps: int,
+        target_steps: int,
+        updates_per_round: int,
+        seed: int = 0,
+        updates_per_jit: int = 1,
+    ):
+        """Full progressive-distillation schedule: halve the sampler step
+        count round by round (start → start/2 → … → target, the
+        arXiv 2202.00512 recipe the reference cites as future work,
+        README.md:189-197) and return ``(final_params, history)`` where
+        history records each round's (num_student_steps, final loss).
+
+        The returned params sample with ``sample(..., timesteps=target_steps)``
+        (DDIM on the distilled model — each student step stands in for two
+        teacher steps of the previous round)."""
+        assert start_steps % target_steps == 0 and (
+            start_steps // target_steps
+        ) & (start_steps // target_steps - 1) == 0, (
+            "start_steps must be target_steps × a power of two"
+        )
+        history = []
+        steps = start_steps
+        params = self.teacher_params
+        rnd = 0
+        while steps > target_steps:
+            steps //= 2  # the student learns to do `steps` steps
+            params = self.distill_round(
+                latent_batches,
+                num_student_steps=steps,
+                n_updates=updates_per_round,
+                seed=seed + rnd,
+                updates_per_jit=updates_per_jit,
+            )
+            history.append((steps, self.last_loss))
+            rnd += 1
+        return params, history

@@ -68,6 +68,7 @@ def test_twin_matches_unfused_module_math():
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_custom_vjp():
     args = _inputs(2)
 

@@ -101,3 +101,29 @@ def test_distill_round_reduces_loss():
     student = d.distill_round(gen, num_student_steps=4, n_updates=150)
     loss_after = eval_loss(student)
     assert loss_after < loss_before, (loss_before, loss_after)
+
+
+def test_run_schedule_halves_to_target():
+    """run_schedule walks start→target in halvings, records a loss per
+    round, and returns params with the model's structure."""
+    ns2, model, params = make_setup()
+    d = ProgressiveDistiller(ns2, params, lr=1e-3)
+
+    rng = np.random.RandomState(1)
+
+    def latents():
+        while True:
+            yield rng.randn(2, 4, 8).astype(np.float32)
+
+    final, history = d.run_schedule(
+        latents(), start_steps=8, target_steps=2, updates_per_round=5
+    )
+    assert [s for s, _ in history] == [4, 2]
+    assert all(np.isfinite(l) for _, l in history)
+    assert jax.tree_util.tree_structure(final) == jax.tree_util.tree_structure(
+        params
+    )
+
+    with pytest.raises(AssertionError):
+        d.run_schedule(latents(), start_steps=6, target_steps=2,
+                       updates_per_round=1)

@@ -4,6 +4,7 @@ unfused FeedForward module (`ops/ff_block_kernel.py`)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from naturalspeech2_tpu.ops.ff_block_kernel import (
     ff_block_xla,
@@ -80,6 +81,7 @@ def test_module_param_tree_unchanged():
     assert params["Dense_1"]["kernel"].shape == (INNER, DM)
 
 
+@pytest.mark.slow
 def test_gradients_flow_through_custom_vjp():
     args = _inputs(2)
 
