@@ -103,11 +103,13 @@ class CodecTrainer:
     def init_state(self, example_batch: np.ndarray) -> CodecTrainState:
         key = jax.random.PRNGKey(self.seed)
         audio = jnp.asarray(example_batch)
-        params = self.codec.init(key, audio)["params"]
+        # jit the inits: un-jitted flax init executes every primitive
+        # eagerly, which through a high-latency device tunnel costs minutes
+        params = jax.jit(self.codec.init)(key, audio)["params"]
         codebooks = params["codebooks"]
         disc_params = disc_opt_state = None
         if self.discriminator is not None:
-            disc_params = self.discriminator.init(
+            disc_params = jax.jit(self.discriminator.init)(
                 jax.random.fold_in(key, 1), audio
             )["params"]
             disc_opt_state = self.disc_optimizer.init(disc_params)
