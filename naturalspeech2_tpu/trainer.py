@@ -80,7 +80,13 @@ class Trainer:
         mesh=None,
         seed: int = 0,
         checkpoint_backend: str = "msgpack",
+        param_sharding: str = "tp",
     ):
+        """``param_sharding``: layout for params/EMA/optimizer state on the
+        mesh — 'tp' (Megatron rules over the ``model`` axis, replicated when
+        that axis is 1 — the default, matching the reference's DDP
+        semantics), 'fsdp' (ZeRO-3-style sharding over the ``data`` axis,
+        per-device state O(model/n_data)), or 'replicated'."""
         self.ns2 = diffusion_model
         self.train_batch_size = train_batch_size
         self.grad_accum_every = grad_accum_every
@@ -97,6 +103,8 @@ class Trainer:
         self.seed = seed
         assert checkpoint_backend in ("msgpack", "orbax"), checkpoint_backend
         self.checkpoint_backend = checkpoint_backend
+        assert param_sharding in ("tp", "fsdp", "replicated"), param_sharding
+        self.param_sharding = param_sharding
 
         target_hz = self.ns2.sample_hz
         if data_max_length is None and data_max_length_seconds is not None:
@@ -169,10 +177,22 @@ class Trainer:
             opt_state=opt_state,
             ema_params=jax.tree_util.tree_map(jnp.copy, params),
         )
-        from naturalspeech2_tpu.parallel.tp import shard_state
-
-        self.state = shard_state(self.mesh, state)
+        self.state = self._shard_state(state)
         return self.state
+
+    def _shard_state(self, state):
+        if self.param_sharding == "fsdp":
+            from naturalspeech2_tpu.parallel.fsdp import shard_state
+        elif self.param_sharding == "tp":
+            from naturalspeech2_tpu.parallel.tp import shard_state
+        else:
+            from naturalspeech2_tpu.parallel.mesh import replicated
+
+            rep = replicated(self.mesh)
+            return jax.device_put(
+                state, jax.tree_util.tree_map(lambda _: rep, state)
+            )
+        return shard_state(self.mesh, state)
 
     def _loss_fn(self, params, batch, rngs):
         """batch: audio array, or a dict with 'audio' plus conditional
@@ -312,7 +332,6 @@ class Trainer:
 
     def load(self, path: str):
         assert self.state is not None, "call init_state first"
-        from naturalspeech2_tpu.parallel.tp import shard_state
 
         if str(path).endswith(".orbax"):
             import orbax.checkpoint as ocp
@@ -335,9 +354,9 @@ class Trainer:
             ),
         )
         # from_state_dict yields host numpy leaves — re-apply the mesh
-        # placement chosen at init (replicated or TP-sharded over 'model'),
-        # otherwise auto-resume silently drops the sharding layout
-        self.state = shard_state(self.mesh, self.state)
+        # placement chosen at init (replicated, TP over 'model', or FSDP
+        # over 'data'), otherwise auto-resume silently drops the layout
+        self.state = self._shard_state(self.state)
         if payload.get("version") != __version__:
             print(
                 f"checkpoint saved with version {payload.get('version')}, "
