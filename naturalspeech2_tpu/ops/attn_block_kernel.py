@@ -93,6 +93,10 @@ def _attn_block_kernel(
     h = pl.program_id(1)
     n_heads = pl.num_programs(1)
 
+    # bf16 inputs keep bf16 MXU inputs (2× v5e matmul rate) with f32
+    # accumulation; norm/softmax statistics always f32. f32 inputs are
+    # bit-identical to the all-f32 kernel.
+    mm = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     x = x_ref[0].astype(jnp.float32)  # [n, dm]
 
     # adaptive RMSNorm (recomputed per head — a few VPU passes, cheaper than
@@ -100,32 +104,34 @@ def _attn_block_kernel(
     norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))  # [n, 1]
     xn = x / jnp.maximum(norm, 1e-12) * math.sqrt(dim)
     xn = xn * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
+    xn = xn.astype(mm)
 
     q = jax.lax.dot_general(
-        xn, wq_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        xn, wq_ref[0].astype(mm), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [n, dh]
+    ).astype(mm)  # [n, dh]
     k = jax.lax.dot_general(
-        xn, wk_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        xn, wk_ref[0].astype(mm), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(mm)
     v = jax.lax.dot_general(
-        xn, wv_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        xn, wv_ref[0].astype(mm), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    ).astype(mm)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [n, n]
+    ) * scale  # [n, n] f32
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) / l  # [n, dh]
+        p.astype(mm), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / l  # [n, dh] f32
 
     y = jax.lax.dot_general(
-        o, wo_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        o.astype(mm), wo_ref[0].astype(mm), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [n, dm]
 

@@ -96,32 +96,34 @@ def _ff_block_kernel(
     wc0_ref, wc1_ref, wc2_ref, bc_ref, w2_ref, b2_ref, out_ref,
     *, dim: int, approximate: bool,
 ):
+    # bf16 inputs → bf16 MXU inputs with f32 accumulation (2× v5e rate);
+    # f32 inputs are bit-identical to the all-f32 kernel.
+    mm = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     x = x_ref[0].astype(jnp.float32)  # [n, dm]
 
     norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
     xn = x / jnp.maximum(norm, 1e-12) * math.sqrt(dim)
     xn = xn * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
+    xn = xn.astype(mm)
 
     def dot(a, b):
         return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            a.astype(mm), b.astype(mm), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
 
-    val = dot(xn, w_val_ref[:].astype(jnp.float32)) + b_val_ref[:].astype(
-        jnp.float32
-    )
-    gate = dot(xn, w_gate_ref[:].astype(jnp.float32)) + b_gate_ref[:].astype(
-        jnp.float32
-    )
-    a = jax.nn.gelu(gate, approximate=approximate) * val  # [n, inner]
+    val = dot(xn, w_val_ref[:]) + b_val_ref[:].astype(jnp.float32)
+    gate = dot(xn, w_gate_ref[:]) + b_gate_ref[:].astype(jnp.float32)
+    # gelu/gate in f32, then one downcast shared by the three conv taps
+    a = (jax.nn.gelu(gate, approximate=approximate) * val).astype(mm)
 
     c = (
-        dot(_shift_down(a, 2), wc0_ref[:].astype(jnp.float32))
-        + dot(_shift_down(a, 1), wc1_ref[:].astype(jnp.float32))
-        + dot(a, wc2_ref[:].astype(jnp.float32))
+        dot(_shift_down(a, 2), wc0_ref[:])
+        + dot(_shift_down(a, 1), wc1_ref[:])
+        + dot(a, wc2_ref[:])
         + bc_ref[:].astype(jnp.float32)
     )
-    y = dot(c, w2_ref[:].astype(jnp.float32)) + b2_ref[:].astype(jnp.float32)
+    y = dot(c, w2_ref[:]) + b2_ref[:].astype(jnp.float32)
     out_ref[0] = (x + y).astype(out_ref.dtype)
 
 

@@ -155,8 +155,130 @@ def _fused_forward(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
     )(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
 
 
+def _lane_kernel(
+    x_ref, conv_w_ref, conv_b_ref, res_w_ref, res_b_ref,
+    skip_w_ref, skip_b_ref, film_ref, out_ref,
+    pad_scratch, skip_scratch,
+    *, num_stacks: int, num_layers: int, dim: int, pad: int,
+):
+    """One (batch, lane, stack) grid step: thread lane ``l`` through stack
+    ``s``. The lane's sequence lives in ``pad_scratch`` rows [pad:], with a
+    zero causal-history region above it, so the k=3 dilated conv is two
+    shifted sublane slices plus the tile itself, concatenated into one
+    [n, 3d] @ [3d, d] MXU matmul. The L dilation variants are unrolled as
+    predicated ``pl.when(l == const)`` branches (one executes per step) —
+    Mosaic has no unaligned *dynamic* sublane loads, but handles static
+    unaligned slices and static bias/FiLM row indices fine."""
+    l = pl.program_id(1)
+    s = pl.program_id(2)
+    n = out_ref.shape[1]
+
+    @pl.when(s == 0)
+    def _seed():
+        pad_scratch[:pad] = jnp.zeros((pad, dim), jnp.float32)
+        pad_scratch[pad:] = x_ref[0].astype(jnp.float32)
+
+    @pl.when(jnp.logical_and(l == 0, s == 0))
+    def _zero_skip():
+        skip_scratch[:] = jnp.zeros_like(skip_scratch)
+
+    for lc in range(num_layers):
+
+        @pl.when(l == lc)
+        def _step(lc=lc):
+            dil = 2**lc
+            xin = pad_scratch[pad:]
+            x1 = pad_scratch[pad - dil : pad - dil + n]
+            x2 = pad_scratch[pad - 2 * dil : pad - 2 * dil + n]
+
+            # three tap matmuls rather than concat+one: Mosaic can't concat
+            # sublane-offset slices on the lane dim at larger d ("offset
+            # mismatch on non-concat dimension"), and the FLOPs are the same
+            def dot(a, b):
+                return jax.lax.dot_general(
+                    a, b, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            y = (
+                dot(x2, conv_w_ref[0, 0, :dim])
+                + dot(x1, conv_w_ref[0, 0, dim : 2 * dim])
+                + dot(xin, conv_w_ref[0, 0, 2 * dim :])
+                + conv_b_ref[0, lc]
+            )
+            gamma = film_ref[0, 0, lc, :dim]
+            beta = film_ref[0, 0, lc, dim:]
+            y = y * gamma[None, :] + beta[None, :]
+            y = jnp.tanh(y) * jax.nn.sigmoid(y)
+            res = dot(xin, res_w_ref[0, 0]) + res_b_ref[0, lc]
+            out = y + res
+            pad_scratch[pad:] = out
+
+            @pl.when(s == num_stacks - 1)
+            def _skip():
+                skip_scratch[:] += dot(out, skip_w_ref[0]) + skip_b_ref[lc]
+
+    @pl.when(jnp.logical_and(l == num_layers - 1, s == num_stacks - 1))
+    def _emit():
+        out_ref[0] = skip_scratch[:].astype(out_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fused_forward_per_lane(
+    x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film
+):
+    """Per-lane fused forward: grid (b, L, S), one lane's state + one
+    block's weights resident at a time — O(n·d + d²) VMEM instead of the
+    whole-stack kernel's O(L·n·d + L·d²), so dim-512 and long-form (n=4500)
+    configs keep a fused path instead of falling back to XLA."""
+    b, n, d = x.shape
+    S, L = conv_w.shape[:2]
+    pad = _round_up(max(8, 2 * 2 ** (L - 1)), 8)
+
+    return pl.pallas_call(
+        functools.partial(
+            _lane_kernel, num_stacks=S, num_layers=L, dim=d, pad=pad,
+        ),
+        grid=(b, L, S),
+        in_specs=[
+            pl.BlockSpec((1, n, d), lambda b_, l_, s_: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, 3 * d, d), lambda b_, l_, s_: (s_, l_, 0, 0)),
+            pl.BlockSpec((1, L, d), lambda b_, l_, s_: (s_, 0, 0)),
+            pl.BlockSpec((1, 1, d, d), lambda b_, l_, s_: (s_, l_, 0, 0)),
+            pl.BlockSpec((1, L, d), lambda b_, l_, s_: (s_, 0, 0)),
+            pl.BlockSpec((1, d, d), lambda b_, l_, s_: (l_, 0, 0)),
+            pl.BlockSpec((L, d), lambda b_, l_, s_: (0, 0)),
+            pl.BlockSpec((1, 1, L, 2 * d), lambda b_, l_, s_: (b_, s_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, d), lambda b_, l_, s_: (b_, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, d), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((pad + n, d), jnp.float32),
+            pltpu.VMEM((n, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            # Mosaic's default scoped-vmem cap is 16 MB; v5e has 128 MB of
+            # VMEM, and the dim-512 configs legitimately need ~23 MB here.
+            vmem_limit_bytes=96 * 2**20,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
+
+
 # ~16 MB VMEM per core on v5e; leave headroom for weights + x/out blocks.
 VMEM_SCRATCH_LIMIT_BYTES = 10 * 2**20
+
+# Per-lane kernel budget. Measured (v5e, in-scan per-iter): the per-lane
+# kernel wins where launch overhead dominates — long-form n=4500 d=128 runs
+# 713 µs vs 741 µs XLA (exact match, 13.9 MB estimate) — but at d=512
+# (22.5 MB) the same matmuls are large enough that XLA's scanned twin at
+# default (bf16-pass) matmul precision is ~3× faster than the kernel's true
+# f32 MXU path, so big-d shapes route to the twin.
+LANE_VMEM_LIMIT_BYTES = 16 * 2**20
 
 
 def _kernel_vmem_bytes(n: int, d: int, L: int) -> int:
@@ -167,14 +289,25 @@ def _kernel_vmem_bytes(n: int, d: int, L: int) -> int:
     return scratch + weights
 
 
+def _lane_vmem_bytes(n: int, d: int, L: int) -> int:
+    """Per-lane kernel footprint: pad+lane and skip scratch (f32) plus
+    double-buffered per-step blocks (x/out tiles and one block's conv/res/
+    skip weights)."""
+    pad = _round_up(max(8, 2 * 2 ** (L - 1)), 8)
+    scratch = ((pad + n) * d + n * d) * 4
+    blocks = 2 * (2 * n * d + (3 * d * d + d * d + d * d)) * 4
+    return scratch + blocks
+
+
 @jax.custom_vjp
 def fused_wavenet_body(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
     """Pallas-fused WaveNet body; see module docstring for shapes.
 
-    Shapes whose lane scratch would blow the VMEM budget (e.g. dim 512 ×
-    n 1024 → 16.8 MB, or the 60-s n=4500 long-form config → 18.4 MB)
-    auto-route to the numerically-identical XLA twin instead of spilling
-    or failing to compile."""
+    Routing: the whole-stack kernel when every lane fits in VMEM at once;
+    the per-lane kernel (grid over lanes, O(n·d + d²) resident) for
+    launch-bound shapes beyond that — e.g. the 60-s n=4500 long-form
+    config; the XLA twin for big-d shapes (dim 512) where its scanned
+    bf16-pass matmuls beat a true-f32 kernel (see LANE_VMEM_LIMIT_BYTES)."""
     return _forward_dispatch(
         x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film
     )
@@ -183,11 +316,12 @@ def fused_wavenet_body(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
 def _forward_dispatch(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
     b, n, d = x.shape
     L = conv_w.shape[1]
-    if _kernel_vmem_bytes(n, d, L) > VMEM_SCRATCH_LIMIT_BYTES:
-        return wavenet_body_xla(
-            x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film
-        )
-    return _fused_forward(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
+    args = (x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
+    if _kernel_vmem_bytes(n, d, L) <= VMEM_SCRATCH_LIMIT_BYTES:
+        return _fused_forward(*args)
+    if _lane_vmem_bytes(n, d, L) <= LANE_VMEM_LIMIT_BYTES:
+        return _fused_forward_per_lane(*args)
+    return wavenet_body_xla(*args)
 
 
 def _fwd(*args):

@@ -44,6 +44,20 @@ def test_kernel_matches_xla_twin():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_kernel_bf16_tracks_f32_twin():
+    """bf16 inputs run the matmuls at bf16 (full-rate MXU path) with f32
+    accumulation/statistics — output must track the f32 twin to bf16
+    precision."""
+    args = _inputs()
+    args16 = tuple(a.astype(jnp.bfloat16) for a in args)
+    out = fused_attn_block(*args16, heads=H, dim_head=DH, scale=DH**-0.5)
+    assert out.dtype == jnp.bfloat16
+    ref = _twin(*args)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=5e-2
+    )
+
+
 def test_twin_matches_unfused_module_math():
     """The XLA twin reproduces adaRMSNorm → Attention → +residual exactly
     as the ConditionableTransformer layer computes it."""

@@ -46,6 +46,19 @@ def test_kernel_matches_xla_twin():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+def test_kernel_bf16_tracks_f32_twin():
+    """bf16 inputs use bf16 MXU inputs with f32 accumulation — output
+    tracks the f32 twin to bf16 precision."""
+    args = _inputs()
+    args16 = tuple(a.astype(jnp.bfloat16) for a in args)
+    out = fused_ff_block(*args16, approximate=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _twin(*args)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=5e-2
+    )
+
+
 def test_twin_matches_unfused_module_math():
     """The XLA twin reproduces adaRMSNorm → GEGLU → causal conv → Dense →
     +residual exactly as the FeedForward module computes it."""

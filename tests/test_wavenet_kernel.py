@@ -115,6 +115,58 @@ def test_fused_module_causal():
     )
 
 
+def test_per_lane_kernel_matches_xla_twin():
+    """The per-lane kernel (grid over lanes — the big-shape fused path)
+    must match the XLA twin, including at L where dilations exceed 8."""
+    from naturalspeech2_tpu.ops.wavenet_kernel import _fused_forward_per_lane
+
+    w = _weights()
+    x = jax.random.normal(jax.random.PRNGKey(9), (B, N, D))
+    out_k = _fused_forward_per_lane(x, *w.values())
+    out_x = wavenet_body_xla(x, *w.values())
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=1e-4)
+
+    S2, L2 = 3, 5  # max dilation 16, pad region 32 rows
+    ks = jax.random.split(jax.random.PRNGKey(4), 8)
+    w2 = dict(
+        conv_w=jax.random.normal(ks[0], (S2, L2, 3 * D, D)) * 0.1,
+        conv_b=jax.random.normal(ks[1], (S2, L2, D)) * 0.1,
+        res_w=jax.random.normal(ks[2], (S2, L2, D, D)) * 0.1,
+        res_b=jax.random.normal(ks[3], (S2, L2, D)) * 0.1,
+        skip_w=jax.random.normal(ks[4], (L2, D, D)) * 0.1,
+        skip_b=jax.random.normal(ks[5], (L2, D)) * 0.1,
+        film=jax.random.normal(ks[6], (B, S2, L2, 2 * D)) * 0.1,
+    )
+    out_k2 = _fused_forward_per_lane(x, *w2.values())
+    out_x2 = wavenet_body_xla(x, *w2.values())
+    np.testing.assert_allclose(np.asarray(out_k2), np.asarray(out_x2), atol=1e-4)
+
+
+def test_dispatch_routes_big_shapes_to_per_lane(monkeypatch):
+    """Shapes over the whole-stack VMEM budget but within the per-lane
+    budget must use the per-lane kernel, not the XLA twin."""
+    import naturalspeech2_tpu.ops.wavenet_kernel as wk
+
+    w = _weights()
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, N, D))
+    args = (x, w["conv_w"], w["conv_b"], w["res_w"], w["res_b"],
+            w["skip_w"], w["skip_b"], w["film"])
+    full = wk.wavenet_body_xla(*args)
+
+    called = {"lane": 0}
+    orig = wk._fused_forward_per_lane
+
+    def spy(*a):
+        called["lane"] += 1
+        return orig(*a)
+
+    monkeypatch.setattr(wk, "_fused_forward_per_lane", spy)
+    monkeypatch.setattr(wk, "VMEM_SCRATCH_LIMIT_BYTES", 1)
+    routed = wk.fused_wavenet_body(*args)
+    assert called["lane"] == 1, "dispatch did not use the per-lane kernel"
+    np.testing.assert_allclose(np.asarray(routed), np.asarray(full), atol=1e-4)
+
+
 def test_vmem_guard_routes_to_xla_twin(monkeypatch):
     """Shapes over the VMEM budget must auto-route to the XLA twin (same
     numbers, no Pallas launch) instead of spilling/failing at scale."""
@@ -128,13 +180,20 @@ def test_vmem_guard_routes_to_xla_twin(monkeypatch):
 
     called = {"pallas": 0}
     orig = wk._fused_forward
+    orig_lane = wk._fused_forward_per_lane
 
     def spy(*a):
         called["pallas"] += 1
         return orig(*a)
 
+    def spy_lane(*a):
+        called["pallas"] += 1
+        return orig_lane(*a)
+
     monkeypatch.setattr(wk, "_fused_forward", spy)
+    monkeypatch.setattr(wk, "_fused_forward_per_lane", spy_lane)
     monkeypatch.setattr(wk, "VMEM_SCRATCH_LIMIT_BYTES", 1)
+    monkeypatch.setattr(wk, "LANE_VMEM_LIMIT_BYTES", 1)
     routed = wk.fused_wavenet_body(*args)
     assert called["pallas"] == 0, "guard did not route to the XLA twin"
     np.testing.assert_allclose(np.asarray(routed), np.asarray(full), atol=1e-5)
