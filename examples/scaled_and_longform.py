@@ -23,13 +23,22 @@ from naturalspeech2_tpu.models.naturalspeech2 import ddim_sample
 from naturalspeech2_tpu.ops.schedules import sigmoid_schedule
 
 
-def bench_config(name, dim, depth, batch, length, n_steps, scan_layers=True):
+def bench_config(name, dim, depth, batch, length, n_steps, scan_layers=True,
+                 bf16=False):
     model = Model(
         dim=dim, depth=depth, heads=8, dim_head=64, use_flash_attn=True,
         scan_layers=scan_layers,
     )
     x = jnp.zeros((batch, length, dim), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((batch,)))
+    if bf16:
+        # bf16 params + latents: the fused block kernels keep bf16 MXU
+        # operands with f32 accumulation/statistics (2× v5e matmul rate)
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            params,
+        )
+        name += " [bf16]"
 
     # params MUST be a jit argument, not a closure constant: closed-over
     # arrays are embedded as HLO literals, and a dim512 model's ~200 MB of
@@ -37,7 +46,9 @@ def bench_config(name, dim, depth, batch, length, n_steps, scan_layers=True):
     @jax.jit
     def run(params, key):
         def denoise_fn(audio, times):
-            return model.apply(params, audio, times)
+            out = model.apply(params, audio.astype(
+                jnp.bfloat16 if bf16 else jnp.float32), times)
+            return out.astype(jnp.float32)
 
         return ddim_sample(
             denoise_fn, key, (batch, length, dim), timesteps=n_steps,
@@ -77,3 +88,8 @@ if __name__ == "__main__":
     if which in ("all", "scaled"):
         # config 4: scaled denoiser dim512/depth12 b16, full 100-step scan
         bench_config("scaled dim512/depth12 b16 n1024", 512, 12, 16, 1024, 100)
+    if which in ("all", "scaled-bf16"):
+        bench_config("scaled dim512/depth12 b16 n1024", 512, 12, 16, 1024, 100,
+                     bf16=True)
+    if which in ("longform-bf16",):
+        bench_config("long-form 60s b1 n4500", 128, 6, 1, 4500, 50, bf16=True)

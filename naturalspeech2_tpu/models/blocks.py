@@ -31,7 +31,14 @@ def ada_rmsnorm(
     attention/FF block kernels and their unfused fallbacks."""
     norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
     x = x / jnp.maximum(norm, 1e-12) * math.sqrt(dim)
-    return x * gamma[:, None, :] + beta[:, None, :]
+    # γ/β follow the activation dtype: the time-conditioning FiLM stays f32
+    # even under bf16 params (sinusoidal t is f32), and letting it promote
+    # would silently run the whole block — and the dtype-strict causal conv
+    # downstream — in f32
+    return (
+        x * gamma[:, None, :].astype(x.dtype)
+        + beta[:, None, :].astype(x.dtype)
+    )
 
 
 class _DenseParams(nn.Module):
@@ -270,8 +277,8 @@ class FeedForward(nn.Module):
         x = nn.gelu(gate, approximate=self.gelu_approximate) * x
         if self.causal_conv:
             x = jax.lax.conv_general_dilated(
-                x, wc, (1,), [(2, 0)],
+                x, wc.astype(x.dtype), (1,), [(2, 0)],
                 dimension_numbers=("NWC", "WIO", "NWC"),
-            ) + bc
+            ) + bc.astype(x.dtype)
         x = x @ w2 + b2
         return x + raw_x if residual else x

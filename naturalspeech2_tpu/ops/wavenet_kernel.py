@@ -44,14 +44,17 @@ def wavenet_body_xla(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
     configs' 100-step sampling scans; the L inner blocks stay unrolled
     because each has a static dilation 2^l. Skip convs apply to the LAST
     stack's lane outputs only (ref :685-686,:725), so they run after the
-    scan."""
+    scan. All operands run at ``x.dtype`` (mixed bf16/f32 operands would
+    promote the scan carry to f32 and break the carry-type invariant;
+    uniform bf16 is also the fast path for bf16 inference)."""
     b, n, d = x.shape
     S, L = conv_w.shape[:2]
+    dt = x.dtype
     lanes0 = jnp.broadcast_to(x, (L, b, n, d))
-    film_s = jnp.moveaxis(film, 1, 0)  # [S, b, L, 2d]
+    film_s = jnp.moveaxis(film, 1, 0).astype(dt)  # [S, b, L, 2d]
 
     def stack_step(lanes, ws):
-        cw, cb, rw, rb, f = ws
+        cw, cb, rw, rb, f = (w.astype(dt) for w in ws)
         new = []
         for l in range(L):
             xin = lanes[l]
@@ -62,13 +65,16 @@ def wavenet_body_xla(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
             y = cat @ cw[l] + cb[l]
             y = y * f[:, l, :d][:, None] + f[:, l, d:][:, None]
             y = jnp.tanh(y) * jax.nn.sigmoid(y)
-            new.append(y + (xin @ rw[l] + rb[l]))
+            new.append((y + (xin @ rw[l] + rb[l])).astype(dt))
         return jnp.stack(new), ()
 
     lanes, _ = jax.lax.scan(
         stack_step, lanes0, (conv_w, conv_b, res_w, res_b, film_s)
     )
-    return sum(lanes[l] @ skip_w[l] + skip_b[l] for l in range(L))
+    return sum(
+        lanes[l] @ skip_w[l].astype(dt) + skip_b[l].astype(dt)
+        for l in range(L)
+    )
 
 
 def _wavenet_kernel(

@@ -127,6 +127,29 @@ def test_conditionable_transformer():
     assert out.shape == x.shape
 
 
+def test_conditionable_transformer_bf16():
+    """bf16 params+activations run end-to-end (the f32 time-FiLM must not
+    promote the blocks — the causal conv is dtype-strict) and track f32."""
+    x = jax.random.normal(KEY, (2, 9, 32))
+    t = jax.random.normal(jax.random.PRNGKey(3), (2, 64))
+    m = ConditionableTransformer(
+        dim=32, depth=2, heads=4, dim_head=8, dim_cond_mult=2,
+        ff_causal_conv=True,
+    )
+    params = m.init(KEY, x, t)
+    ref = m.apply(params, x, t)
+
+    params16 = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params,
+    )
+    out16 = m.apply(params16, x.astype(jnp.bfloat16), t.astype(jnp.bfloat16))
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(ref), atol=1e-1
+    )
+
+
 @pytest.mark.slow
 def test_wavenet_shapes_and_conditioning():
     x = jax.random.normal(KEY, (2, 16, 8))

@@ -115,6 +115,22 @@ def test_fused_module_causal():
     )
 
 
+def test_xla_twin_bf16_inputs():
+    """bf16 params+activations must run (uniform-dtype scan carry — mixed
+    promotion used to break the carry-type invariant) and track f32."""
+    import jax.numpy as jnp
+
+    w = _weights()
+    x = jax.random.normal(jax.random.PRNGKey(9), (B, N, D))
+    ref = wavenet_body_xla(x, *w.values())
+    args16 = [a.astype(jnp.bfloat16) for a in (x, *w.values())]
+    out16 = wavenet_body_xla(*args16)
+    assert out16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(ref), atol=5e-2
+    )
+
+
 def test_per_lane_kernel_matches_xla_twin():
     """The per-lane kernel (grid over lanes — the big-shape fused path)
     must match the XLA twin, including at L where dilations exceed 8."""
