@@ -171,6 +171,29 @@ def _fused_forward(x, gamma, beta, wq, wk, wv, wo, *, scale: float):
     )(x, gamma[:, None, :], beta[:, None, :], wq, wk, wv, wo)
 
 
+def _attn_core_flash(x, gamma, beta, wq, wk, wv, wo, *, scale: float):
+    """Same math as `attn_block_xla`, but the attention core goes through
+    the flash-attention custom-vjp: differentiating THIS function runs the
+    blockwise Pallas dq/dkv backward (recomputing probabilities from the
+    saved per-row logsumexp) instead of pulling an O(n²) softmax jacobian
+    through XLA — the training-path backward for the fused block."""
+    from naturalspeech2_tpu.ops.flash_attention import _flash
+
+    dm = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    xn = xf / jnp.maximum(norm, 1e-12) * math.sqrt(dm)
+    xn = xn * gamma[:, None, :].astype(jnp.float32) + beta[:, None, :].astype(
+        jnp.float32
+    )
+    q = jnp.einsum("bnd,hdk->bhnk", xn, wq.astype(jnp.float32))
+    k = jnp.einsum("bnd,hdk->bhnk", xn, wk.astype(jnp.float32))
+    v = jnp.einsum("bnd,hdk->bhnk", xn, wv.astype(jnp.float32))
+    o = _flash(q, k, v, None, None, False, float(scale), 0.0)
+    y = jnp.einsum("bhnk,hkd->bnd", o, wo.astype(jnp.float32))
+    return (xf + y).astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
 def _fused(x, gamma, beta, wq, wk, wv, wo, scale):
     return _fused_forward(x, gamma, beta, wq, wk, wv, wo, scale=scale)
@@ -183,7 +206,7 @@ def _fused_fwd(x, gamma, beta, wq, wk, wv, wo, scale):
 
 def _fused_bwd(scale, residuals, g):
     _, vjp = jax.vjp(
-        lambda *args: attn_block_xla(*args, scale=scale), *residuals
+        lambda *args: _attn_core_flash(*args, scale=scale), *residuals
     )
     return vjp(g)
 
