@@ -98,6 +98,29 @@ class Attention(nn.Module):
                     scale=self.dim_head**-0.5,
                 )
 
+        if pre_norm is not None and residual and has_context:
+            from naturalspeech2_tpu.ops.attn_block_kernel import (
+                fits_fused_cross_attn_block,
+                fused_cross_attn_block,
+            )
+
+            if (
+                self.use_flash
+                and mask is None
+                and not self.causal
+                and not dropout_active
+                and not self.cross_attn_include_queries
+                and fits_fused_cross_attn_block(
+                    x.shape[1], context.shape[1], self.dim,
+                    context.shape[-1], self.dim_head,
+                )
+            ):
+                return fused_cross_attn_block(
+                    x, context, pre_norm[0], pre_norm[1], wq, wkv, wo,
+                    heads=h, dim_head=self.dim_head,
+                    scale=self.dim_head**-0.5,
+                )
+
         if pre_norm is not None:
             from naturalspeech2_tpu.models.blocks import ada_rmsnorm
 
@@ -242,12 +265,25 @@ class _CTLayer(nn.Module):
             )(x, deterministic=self.deterministic) + res
 
         if self.cross_attn:
-            res = x
-            x = norm(x, 1, "cross_attn_norm")
-            x = Attention(
-                dim=self.dim, dim_head=self.dim_head, heads=self.heads,
-                use_flash=self.use_flash, name="cross_attn",
-            )(x, context=context, deterministic=self.deterministic) + res
+            if self.cond:
+                # norm + residual handed in so the whole pre-norm
+                # cross-attention block (to the fixed-size prompt latents)
+                # can run as one fused Pallas kernel too
+                x = Attention(
+                    dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                    use_flash=self.use_flash, name="cross_attn",
+                )(
+                    x, context=context, deterministic=self.deterministic,
+                    pre_norm=(ada[1, :, : self.dim], ada[1, :, self.dim :]),
+                    residual=True,
+                )
+            else:
+                res = x
+                x = norm(x, 1, "cross_attn_norm")
+                x = Attention(
+                    dim=self.dim, dim_head=self.dim_head, heads=self.heads,
+                    use_flash=self.use_flash, name="cross_attn",
+                )(x, context=context, deterministic=self.deterministic) + res
 
         if self.cond:
             idx = 2 if self.cross_attn else 1

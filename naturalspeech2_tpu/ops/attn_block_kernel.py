@@ -171,6 +171,185 @@ def _fused_forward(x, gamma, beta, wq, wk, wv, wo, *, scale: float):
     )(x, gamma[:, None, :], beta[:, None, :], wq, wk, wv, wo)
 
 
+def _cross_vmem_bytes(n: int, m: int, dm: int, dc: int, dh: int) -> int:
+    """f32 footprint for the cross block: x/out (double-buffered) + ctx +
+    [n, m] logits + q/k/v + per-head weight blocks."""
+    return 4 * (
+        4 * n * dm
+        + m * dc
+        + n * m
+        + n * dh + 2 * m * dh
+        + dm * dh + 2 * dc * dh + dh * dm
+        + n
+    )
+
+
+def fits_fused_cross_attn_block(
+    n: int, m: int, dm: int, dc: int, dh: int
+) -> bool:
+    """Shape gate for the fused cross-attention block (TPU sublane rule on
+    both sequence dims + VMEM fit)."""
+    return (
+        n % 8 == 0
+        and m % 8 == 0
+        and _cross_vmem_bytes(n, m, dm, dc, dh) <= VMEM_BUDGET_BYTES
+    )
+
+
+def cross_attn_block_xla(x, ctx, gamma, beta, wq, wk, wv, wo, *, scale: float):
+    """Pure-XLA twin of the fused cross-attention block (backward path +
+    numerical reference). x: [b, n, dm]; ctx: [b, m, dc] (NOT normalized —
+    the reference norms only the query side, naturalspeech2_pytorch.py:795);
+    wq: [H, dm, dh]; wk/wv: [H, dc, dh]; wo: [H, dh, dm]."""
+    dm = x.shape[-1]
+    xf = x.astype(jnp.float32)
+    norm = jnp.sqrt(jnp.sum(xf * xf, axis=-1, keepdims=True))
+    xn = xf / jnp.maximum(norm, 1e-12) * math.sqrt(dm)
+    xn = xn * gamma[:, None, :].astype(jnp.float32) + beta[:, None, :].astype(
+        jnp.float32
+    )
+    cf = ctx.astype(jnp.float32)
+
+    q = jnp.einsum("bnd,hdk->bhnk", xn, wq.astype(jnp.float32))
+    k = jnp.einsum("bmd,hdk->bhmk", cf, wk.astype(jnp.float32))
+    v = jnp.einsum("bmd,hdk->bhmk", cf, wv.astype(jnp.float32))
+    s = jnp.einsum("bhik,bhjk->bhij", q, k) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhij,bhjk->bhik", p, v)
+    y = jnp.einsum("bhnk,hkd->bnd", o, wo.astype(jnp.float32))
+    return (xf + y).astype(x.dtype)
+
+
+def _cross_attn_block_kernel(
+    x_ref, ctx_ref, gamma_ref, beta_ref, wq_ref, wk_ref, wv_ref, wo_ref,
+    out_ref, *, scale: float, dim: int,
+):
+    h = pl.program_id(1)
+
+    mm = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
+    x = x_ref[0].astype(jnp.float32)  # [n, dm]
+
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    xn = x / jnp.maximum(norm, 1e-12) * math.sqrt(dim)
+    xn = xn * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
+    xn = xn.astype(mm)
+    ctx = ctx_ref[0].astype(mm)  # [m, dc] — query-side norm only
+
+    q = jax.lax.dot_general(
+        xn, wq_ref[0].astype(mm), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(mm)  # [n, dh]
+    k = jax.lax.dot_general(
+        ctx, wk_ref[0].astype(mm), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(mm)  # [m, dh]
+    v = jax.lax.dot_general(
+        ctx, wv_ref[0].astype(mm), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(mm)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [n, m] f32
+    mx = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - mx)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(mm), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / l  # [n, dh] f32
+
+    y = jax.lax.dot_general(
+        o.astype(mm), wo_ref[0].astype(mm), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [n, dm]
+
+    @pl.when(h == 0)
+    def _seed():
+        out_ref[0] = x.astype(out_ref.dtype)
+
+    out_ref[0] = (out_ref[0].astype(jnp.float32) + y).astype(out_ref.dtype)
+
+
+def _cross_fused_forward(x, ctx, gamma, beta, wq, wk, wv, wo, *, scale: float):
+    b, n, dm = x.shape
+    m, dc = ctx.shape[1:]
+    n_heads, _, dh = wq.shape
+
+    return pl.pallas_call(
+        functools.partial(_cross_attn_block_kernel, scale=scale, dim=dm),
+        grid=(b, n_heads),
+        in_specs=[
+            pl.BlockSpec((1, n, dm), lambda b_, h_: (b_, 0, 0)),
+            pl.BlockSpec((1, m, dc), lambda b_, h_: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, dm), lambda b_, h_: (b_, 0, 0)),
+            pl.BlockSpec((1, 1, dm), lambda b_, h_: (b_, 0, 0)),
+            pl.BlockSpec((1, dm, dh), lambda b_, h_: (h_, 0, 0)),
+            pl.BlockSpec((1, dc, dh), lambda b_, h_: (h_, 0, 0)),
+            pl.BlockSpec((1, dc, dh), lambda b_, h_: (h_, 0, 0)),
+            pl.BlockSpec((1, dh, dm), lambda b_, h_: (h_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, n, dm), lambda b_, h_: (b_, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, n, dm), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(x, ctx, gamma[:, None, :], beta[:, None, :], wq, wk, wv, wo)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _cross_fused(x, ctx, gamma, beta, wq, wk, wv, wo, scale):
+    return _cross_fused_forward(x, ctx, gamma, beta, wq, wk, wv, wo,
+                                scale=scale)
+
+
+def _cross_fused_fwd(x, ctx, gamma, beta, wq, wk, wv, wo, scale):
+    out = _cross_fused_forward(x, ctx, gamma, beta, wq, wk, wv, wo,
+                               scale=scale)
+    return out, (x, ctx, gamma, beta, wq, wk, wv, wo)
+
+
+def _cross_fused_bwd(scale, residuals, g):
+    # O(n·m) logits with tiny m — the XLA vjp is already cheap here
+    _, vjp = jax.vjp(
+        lambda *args: cross_attn_block_xla(*args, scale=scale), *residuals
+    )
+    return vjp(g)
+
+
+_cross_fused.defvjp(_cross_fused_fwd, _cross_fused_bwd)
+
+
+def fused_cross_attn_block(
+    x: jax.Array,
+    ctx: jax.Array,
+    gamma: jax.Array,
+    beta: jax.Array,
+    wq: jax.Array,
+    wkv: jax.Array,
+    wo: jax.Array,
+    *,
+    heads: int,
+    dim_head: int,
+    scale: float,
+) -> jax.Array:
+    """``x + W_o·attn(adaRMSNorm(x)·W_q, ctx·W_k, ctx·W_v)`` in one launch —
+    the conditional denoiser's cross-attention to the (fixed-size, unmasked)
+    resampled speech-prompt latents. Same layouts as `fused_attn_block`
+    with wkv over the context dim. Caller gates on
+    `fits_fused_cross_attn_block`."""
+    dm = x.shape[-1]
+    dc = ctx.shape[-1]
+    wq_h = wq.reshape(dm, heads, dim_head).transpose(1, 0, 2)
+    wk_flat, wv_flat = jnp.split(wkv, 2, axis=-1)
+    wk_h = wk_flat.reshape(dc, heads, dim_head).transpose(1, 0, 2)
+    wv_h = wv_flat.reshape(dc, heads, dim_head).transpose(1, 0, 2)
+    wo_h = wo.reshape(heads, dim_head, dm)
+    return _cross_fused(x, ctx, gamma, beta, wq_h, wk_h, wv_h, wo_h,
+                        float(scale))
+
+
 def _attn_core_flash(x, gamma, beta, wq, wk, wv, wo, *, scale: float):
     """Same math as `attn_block_xla`, but the attention core goes through
     the flash-attention custom-vjp: differentiating THIS function runs the

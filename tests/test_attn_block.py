@@ -108,6 +108,102 @@ def test_fits_gate():
     assert not fits_fused_attn_block(4504, 128, 64)  # logits tile too large
 
 
+M, DC = 8, 24  # cross-attention context: prompt latents [B, M, DC]
+
+
+def _cross_inputs(key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 7)
+    x = jax.random.normal(ks[0], (B, N, DM))
+    ctx = jax.random.normal(ks[6], (B, M, DC))
+    gamma = 1.0 + 0.1 * jax.random.normal(ks[1], (B, DM))
+    beta = 0.1 * jax.random.normal(ks[2], (B, DM))
+    wq = jax.random.normal(ks[3], (DM, H * DH)) / np.sqrt(DM)
+    wkv = jax.random.normal(ks[4], (DC, 2 * H * DH)) / np.sqrt(DC)
+    wo = jax.random.normal(ks[5], (H * DH, DM)) / np.sqrt(H * DH)
+    return x, ctx, gamma, beta, wq, wkv, wo
+
+
+def _cross_twin(x, ctx, gamma, beta, wq, wkv, wo):
+    from naturalspeech2_tpu.ops.attn_block_kernel import cross_attn_block_xla
+
+    wq_h = wq.reshape(DM, H, DH).transpose(1, 0, 2)
+    wk, wv = jnp.split(wkv, 2, axis=-1)
+    wk_h = wk.reshape(DC, H, DH).transpose(1, 0, 2)
+    wv_h = wv.reshape(DC, H, DH).transpose(1, 0, 2)
+    wo_h = wo.reshape(H, DH, DM)
+    return cross_attn_block_xla(
+        x, ctx, gamma, beta, wq_h, wk_h, wv_h, wo_h, scale=DH**-0.5
+    )
+
+
+def test_cross_kernel_matches_xla_twin():
+    from naturalspeech2_tpu.ops.attn_block_kernel import fused_cross_attn_block
+
+    args = _cross_inputs()
+    out = fused_cross_attn_block(*args, heads=H, dim_head=DH, scale=DH**-0.5)
+    ref = _cross_twin(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_cross_kernel_bf16_tracks_f32_twin():
+    from naturalspeech2_tpu.ops.attn_block_kernel import fused_cross_attn_block
+
+    args = _cross_inputs()
+    args16 = tuple(a.astype(jnp.bfloat16) for a in args)
+    out = fused_cross_attn_block(*args16, heads=H, dim_head=DH, scale=DH**-0.5)
+    assert out.dtype == jnp.bfloat16
+    ref = _cross_twin(*args)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), atol=5e-2
+    )
+
+
+def test_cross_gradients_flow_through_custom_vjp():
+    from naturalspeech2_tpu.ops.attn_block_kernel import fused_cross_attn_block
+
+    args = _cross_inputs(2)
+
+    def loss_fused(*a):
+        return jnp.sum(
+            fused_cross_attn_block(*a, heads=H, dim_head=DH,
+                                   scale=DH**-0.5) ** 2
+        )
+
+    def loss_twin(*a):
+        return jnp.sum(_cross_twin(*a) ** 2)
+
+    idx = (0, 1, 2, 3, 4, 5, 6)
+    g_fused = jax.grad(loss_fused, argnums=idx)(*args)
+    g_twin = jax.grad(loss_twin, argnums=idx)(*args)
+    for gf, gt in zip(g_fused, g_twin):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gt), atol=1e-4, rtol=1e-4
+        )
+
+
+@pytest.mark.parametrize("scan_layers", [False, True])
+def test_conditionable_transformer_cross_unchanged_by_fused_path(scan_layers):
+    """CT with cross-attention: use_flash=True (fused self + cross blocks)
+    matches use_flash=False (pure XLA)."""
+    from naturalspeech2_tpu.models.transformer import ConditionableTransformer
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, DM))
+    t = jax.random.normal(jax.random.PRNGKey(1), (B, DM * 2))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, M, DM))
+    outs = {}
+    for use_flash in (False, True):
+        ct = ConditionableTransformer(
+            dim=DM, depth=2, dim_head=DH, heads=H, ff_causal_conv=True,
+            dim_cond_mult=2, cross_attn=True, use_flash=use_flash,
+            scan_layers=scan_layers,
+        )
+        params = ct.init(jax.random.PRNGKey(42), x, t, ctx)
+        outs[use_flash] = ct.apply(params, x, t, ctx)
+    np.testing.assert_allclose(
+        np.asarray(outs[True]), np.asarray(outs[False]), atol=3e-5
+    )
+
+
 @pytest.mark.parametrize("scan_layers", [False, True])
 def test_conditionable_transformer_unchanged_by_fused_path(scan_layers):
     """CT forward with use_flash=True (fused block on the self-attn) matches
