@@ -11,39 +11,32 @@ import re
 
 from naturalspeech2_tpu.utils.expand.number_norm import number_to_words
 
+# 0-23 hours, 00-59 minutes, optional am/pm with or without dots
+_TIME_RE = re.compile(
+    r"\b(?P<hour>[01]?\d|2[0-3]):(?P<minute>[0-5]\d)"
+    r"\s*(?P<ampm>[ap]\.?m\.?)?\b",
+    re.IGNORECASE,
+)
+
+
+def _spoken(match: re.Match, language: str) -> str:
+    hour = int(match.group("hour")) % 12 or 12  # 24h → 12h clock, 0 → 12
+    words = [number_to_words(hour, language)]
+
+    minute = int(match.group("minute"))
+    if minute:
+        if minute < 10:
+            words.append("oh")
+        words.append(number_to_words(minute, language))
+
+    ampm = match.group("ampm")
+    if ampm:
+        words.extend(ampm.replace(".", ""))  # "pm" → "p m"
+    return " ".join(words)
+
 
 class TimeExpander:
-    def __init__(self):
-        self._time_re = re.compile(
-            r"""\b
-            ((0?[0-9])|(1[0-1])|(1[2-9])|(2[0-3]))   # hours
-            :
-            ([0-5][0-9])                             # minutes
-            \s*(a\.m\.|am|pm|p\.m\.|a\.m|p\.m)?      # am/pm
-            \b""",
-            re.IGNORECASE | re.X,
-        )
-
-    def _expand_match(self, match: re.Match, language: str) -> str:
-        hour = int(match.group(1))
-        if hour > 12:
-            hour -= 12
-        elif hour == 0:
-            hour = 12
-        words = [number_to_words(hour, language)]
-
-        minute = int(match.group(6))
-        if minute > 0:
-            if minute < 10:
-                words.append("oh")
-            words.append(number_to_words(minute, language))
-
-        am_pm = match.group(7)
-        if am_pm is not None:
-            words.extend(list(am_pm.replace(".", "")))
-        return " ".join(words)
+    """Replaces every clock time in the text with its spoken form."""
 
     def expand_time(self, text: str, language: str = "en") -> str:
-        return self._time_re.sub(
-            lambda m: self._expand_match(m, language), text
-        )
+        return _TIME_RE.sub(lambda m: _spoken(m, language), text)
