@@ -181,6 +181,7 @@ def test_cross_gradients_flow_through_custom_vjp():
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scan_layers", [False, True])
 def test_conditionable_transformer_cross_unchanged_by_fused_path(scan_layers):
     """CT with cross-attention: use_flash=True (fused self + cross blocks)
@@ -204,6 +205,7 @@ def test_conditionable_transformer_cross_unchanged_by_fused_path(scan_layers):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scan_layers", [False, True])
 def test_conditionable_transformer_unchanged_by_fused_path(scan_layers):
     """CT forward with use_flash=True (fused block on the self-attn) matches

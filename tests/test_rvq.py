@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from naturalspeech2_tpu.ops.rvq import rvq_cross_entropy, rvq_quantize, rvq_xla
 
@@ -40,6 +41,7 @@ def test_rvq_kernel_matches_xla():
     np.testing.assert_allclose(np.asarray(q_k), np.asarray(q_x), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_rvq_residual_shrinks():
     # with a zero entry available in every codebook, each extra stage can
     # never increase reconstruction error (zero = "no-op" choice)
@@ -65,6 +67,7 @@ def test_rvq_straight_through_grad():
     np.testing.assert_allclose(np.asarray(g), np.asarray(2 * q), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_rvq_cross_entropy():
     x, cb = _make(m=64, d=8, Q=3, K=16)
     _, codes = rvq_xla(x, cb)

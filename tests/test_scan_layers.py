@@ -118,6 +118,7 @@ def test_scan_remat_grads_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_model_scan_layers_end_to_end():
     """Model(scan_layers=True) produces finite output and jits."""
     from naturalspeech2_tpu.models.denoiser import Model

@@ -9,6 +9,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# every test here builds + traces a full NaturalSpeech2 (10-55 s each)
+pytestmark = pytest.mark.slow
+
 from naturalspeech2_tpu.models.codec import SoundStream
 from naturalspeech2_tpu.models.denoiser import Model
 from naturalspeech2_tpu.models.naturalspeech2 import (

@@ -38,6 +38,7 @@ def test_kernel_matches_xla_twin():
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_kernel_grads_match_xla():
     w = _weights()
     x = jax.random.normal(jax.random.PRNGKey(9), (B, N, D))
@@ -102,6 +103,7 @@ def test_fused_module_equivalent_to_reference_module():
     )
 
 
+@pytest.mark.slow
 def test_fused_module_causal():
     fused = FusedWavenet(dim=D, stacks=S, layers=L, dim_cond_mult=4)
     x = jax.random.normal(KEY, (1, N, D))
