@@ -40,8 +40,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# leave headroom under the ~16 MB/core VMEM for double-buffered x/out blocks
-VMEM_BUDGET_BYTES = 13 * 2**20
+# Mosaic's default scoped-vmem cap is 16 MB but v5e VMEM is far larger (a
+# 22.6 MB kernel compiles and runs with the cap raised — see
+# wavenet_kernel); the kernels below request a 96 MB cap, and this budget
+# gates which shapes route to them (dim512/n1024 ≈ 15 MB estimate: in).
+VMEM_BUDGET_BYTES = 40 * 2**20
 
 
 def _vmem_bytes(n: int, dm: int, dh: int) -> int:
@@ -166,6 +169,7 @@ def _fused_forward(x, gamma, beta, wq, wk, wv, wo, *, scale: float):
         out_shape=jax.ShapeDtypeStruct((b, n, dm), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 2**20,
         ),
         interpret=jax.default_backend() != "tpu",
     )(x, gamma[:, None, :], beta[:, None, :], wq, wk, wv, wo)
@@ -293,6 +297,7 @@ def _cross_fused_forward(x, ctx, gamma, beta, wq, wk, wv, wo, *, scale: float):
         out_shape=jax.ShapeDtypeStruct((b, n, dm), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=96 * 2**20,
         ),
         interpret=jax.default_backend() != "tpu",
     )(x, ctx, gamma[:, None, :], beta[:, None, :], wq, wk, wv, wo)

@@ -33,7 +33,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-VMEM_BUDGET_BYTES = 13 * 2**20
+# see attn_block_kernel: Mosaic's default scoped cap (16 MB) is not the
+# hardware VMEM; the kernel requests a 96 MB cap and this budget gates
+# routing (dim512's inner=1365 FF lands ~60 MB — measured to compile+run)
+VMEM_BUDGET_BYTES = 80 * 2**20
 
 
 def _pad128(x: int) -> int:
@@ -159,6 +162,7 @@ def _fused_forward(
         out_shape=jax.ShapeDtypeStruct((b, n, dm), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
+            vmem_limit_bytes=96 * 2**20,
         ),
         interpret=jax.default_backend() != "tpu",
     )(
