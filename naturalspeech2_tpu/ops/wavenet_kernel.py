@@ -156,6 +156,9 @@ def _fused_forward(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            # Mosaic's default 16 MB scoped cap is not the hardware VMEM;
+            # long-form n=4500 d=128 needs ~23 MB here and runs fine
+            vmem_limit_bytes=96 * 2**20,
         ),
         interpret=jax.default_backend() != "tpu",
     )(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
@@ -275,16 +278,18 @@ def _fused_forward_per_lane(
     )(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
 
 
-# ~16 MB VMEM per core on v5e; leave headroom for weights + x/out blocks.
-VMEM_SCRATCH_LIMIT_BYTES = 10 * 2**20
+# Whole-stack kernel budget. Mosaic's default scoped-vmem cap (16 MB) is
+# not the hardware VMEM — with the cap raised to 96 MB the long-form
+# n=4500 d=128 whole-stack kernel (~23 MB) compiles and measures fastest
+# (609 µs vs 622 per-lane vs 736 XLA, in-scan per-iter on v5e).
+VMEM_SCRATCH_LIMIT_BYTES = 32 * 2**20
 
-# Per-lane kernel budget. Measured (v5e, in-scan per-iter): the per-lane
-# kernel wins where launch overhead dominates — long-form n=4500 d=128 runs
-# 713 µs vs 741 µs XLA (exact match, 13.9 MB estimate) — but at d=512
-# (22.5 MB) the same matmuls are large enough that XLA's scanned twin at
-# default (bf16-pass) matmul precision is ~3× faster than the kernel's true
-# f32 MXU path, so big-d shapes route to the twin.
-LANE_VMEM_LIMIT_BYTES = 16 * 2**20
+# Per-lane kernel: the fused fallback for small-d shapes beyond the
+# whole-stack budget (very long sequences). At d > 256 XLA's scanned twin
+# at default (bf16-pass) matmul precision beats any true-f32 kernel ~3×
+# (measured at d=512), so big-d shapes route to the twin regardless.
+LANE_VMEM_LIMIT_BYTES = 64 * 2**20
+LANE_MAX_DIM = 256
 
 
 def _kernel_vmem_bytes(n: int, d: int, L: int) -> int:
@@ -309,11 +314,12 @@ def _lane_vmem_bytes(n: int, d: int, L: int) -> int:
 def fused_wavenet_body(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
     """Pallas-fused WaveNet body; see module docstring for shapes.
 
-    Routing: the whole-stack kernel when every lane fits in VMEM at once;
+    Routing: the whole-stack kernel when every lane fits the (raised)
+    VMEM budget at once — including the 60-s n=4500 long-form config;
     the per-lane kernel (grid over lanes, O(n·d + d²) resident) for
-    launch-bound shapes beyond that — e.g. the 60-s n=4500 long-form
-    config; the XLA twin for big-d shapes (dim 512) where its scanned
-    bf16-pass matmuls beat a true-f32 kernel (see LANE_VMEM_LIMIT_BYTES)."""
+    small-d shapes beyond that (very long sequences); the XLA twin for
+    big-d shapes (dim 512) where its scanned bf16-pass matmuls beat a
+    true-f32 kernel (see LANE_MAX_DIM)."""
     return _forward_dispatch(
         x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film
     )
@@ -325,7 +331,7 @@ def _forward_dispatch(x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film):
     args = (x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film)
     if _kernel_vmem_bytes(n, d, L) <= VMEM_SCRATCH_LIMIT_BYTES:
         return _fused_forward(*args)
-    if _lane_vmem_bytes(n, d, L) <= LANE_VMEM_LIMIT_BYTES:
+    if d <= LANE_MAX_DIM and _lane_vmem_bytes(n, d, L) <= LANE_VMEM_LIMIT_BYTES:
         return _fused_forward_per_lane(*args)
     return wavenet_body_xla(*args)
 
