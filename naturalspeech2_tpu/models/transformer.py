@@ -420,15 +420,32 @@ class ConditionableTransformer(nn.Module):
 
             if self.cross_attn:
                 assert context is not None
-                res = x
-                x = maybe_norm(x, f"cross_attn_norm_{i}", base + 1)
-                x = Attention(
-                    dim=self.dim,
-                    dim_head=self.dim_head,
-                    heads=self.heads,
-                    use_flash=self.use_flash,
-                    name=f"cross_attn_{i}",
-                )(x, context=context, deterministic=deterministic) + res
+                if cond:
+                    # norm + residual inside → fused cross-attention block
+                    x = Attention(
+                        dim=self.dim,
+                        dim_head=self.dim_head,
+                        heads=self.heads,
+                        use_flash=self.use_flash,
+                        name=f"cross_attn_{i}",
+                    )(
+                        x, context=context, deterministic=deterministic,
+                        pre_norm=(
+                            ada[:, base + 1, : self.dim],
+                            ada[:, base + 1, self.dim :],
+                        ),
+                        residual=True,
+                    )
+                else:
+                    res = x
+                    x = maybe_norm(x, f"cross_attn_norm_{i}", base + 1)
+                    x = Attention(
+                        dim=self.dim,
+                        dim_head=self.dim_head,
+                        heads=self.heads,
+                        use_flash=self.use_flash,
+                        name=f"cross_attn_{i}",
+                    )(x, context=context, deterministic=deterministic) + res
 
             if cond:
                 idx = base + norms_per_layer - 1

@@ -181,6 +181,35 @@ def test_cross_gradients_flow_through_custom_vjp():
         )
 
 
+def test_conditional_layer_routes_to_fused_cross_block(monkeypatch):
+    """The conditional CT layer must actually take the fused cross-attention
+    path (not silently fall back) for the unmasked fixed-size prompt
+    context."""
+    import naturalspeech2_tpu.ops.attn_block_kernel as ab
+    from naturalspeech2_tpu.models.transformer import ConditionableTransformer
+
+    calls = {"cross": 0}
+    orig = ab.fused_cross_attn_block
+
+    def spy(*a, **k):
+        calls["cross"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ab, "fused_cross_attn_block", spy)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, N, DM))
+    t = jax.random.normal(jax.random.PRNGKey(1), (B, DM * 2))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (B, M, DM))
+    ct = ConditionableTransformer(
+        dim=DM, depth=2, dim_head=DH, heads=H, ff_causal_conv=True,
+        dim_cond_mult=2, cross_attn=True, use_flash=True,
+    )
+    params = ct.init(jax.random.PRNGKey(42), x, t, ctx)
+    calls["cross"] = 0  # init also runs a forward
+    ct.apply(params, x, t, ctx)
+    assert calls["cross"] == 2, calls  # one per layer
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("scan_layers", [False, True])
 def test_conditionable_transformer_cross_unchanged_by_fused_path(scan_layers):
