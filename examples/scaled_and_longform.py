@@ -91,5 +91,5 @@ if __name__ == "__main__":
     if which in ("all", "scaled-bf16"):
         bench_config("scaled dim512/depth12 b16 n1024", 512, 12, 16, 1024, 100,
                      bf16=True)
-    if which in ("longform-bf16",):
+    if which in ("all", "longform-bf16"):
         bench_config("long-form 60s b1 n4500", 128, 6, 1, 4500, 50, bf16=True)

@@ -19,22 +19,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import jax
 import numpy as np
 
+from examples.train_demo import synthetic_speech  # shared harmonic generator
 from naturalspeech2_tpu import Model, NaturalSpeech2, SoundStream, Trainer
-
-
-def synthetic_speech(rng, batch, samples, sr=24000):
-    t = np.arange(samples) / sr
-    out = np.zeros((batch, samples), np.float32)
-    for b in range(batch):
-        f0 = rng.uniform(90, 280)
-        drift = np.cumsum(rng.normal(0, 0.3, samples)) / sr
-        phase = 2 * np.pi * np.cumsum(f0 * (1 + drift)) / sr
-        env = 0.4 * (0.6 + 0.4 * np.sin(2 * np.pi * rng.uniform(1, 4) * t))
-        sig = np.zeros(samples)
-        for h in range(1, 6):
-            sig += np.sin(h * phase) / h
-        out[b] = (env * sig / 2.5).astype(np.float32)
-    return out
 
 
 def main():

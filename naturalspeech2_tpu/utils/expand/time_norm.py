@@ -11,10 +11,13 @@ import re
 
 from naturalspeech2_tpu.utils.expand.number_norm import number_to_words
 
-# 0-23 hours, 00-59 minutes, optional am/pm with or without dots
+# 0-23 hours, 00-59 minutes, optional am/pm with or without dots. The
+# whitespace lives INSIDE the optional group: a bare "5:30 tomorrow" must
+# not have its trailing space swallowed into the match (which would glue
+# the spoken time to the next word).
 _TIME_RE = re.compile(
     r"\b(?P<hour>[01]?\d|2[0-3]):(?P<minute>[0-5]\d)"
-    r"\s*(?P<ampm>[ap]\.?m\.?)?\b",
+    r"(?:\s*(?P<ampm>[ap]\.?m\.?))?\b",
     re.IGNORECASE,
 )
 

@@ -45,6 +45,12 @@ def test_time_expander():
     out2 = t.expand_time("at 12:05 pm sharp", language="en")
     assert "twelve oh five p m" in out2
     assert t.expand_time("no time here", language="en") == "no time here"
+    # without am/pm the trailing space must survive (a greedy \s* outside
+    # the optional group used to glue the time to the next word)
+    assert (
+        t.expand_time("Meet at 5:30 tomorrow", language="en")
+        == "Meet at five thirty tomorrow"
+    )
 
 
 def test_abbreviation_expander():
