@@ -114,6 +114,8 @@ class Model(nn.Module):
                     prompt_drop = cond_drop = jnp.ones((b,), dtype=bool)
                 else:
                     prompt_drop = cond_drop = jnp.zeros((b,), dtype=bool)
+            elif isinstance(cond_drop_mask, tuple):
+                prompt_drop, cond_drop = cond_drop_mask
             else:
                 prompt_drop = cond_drop = cond_drop_mask
 

@@ -239,12 +239,30 @@ class NaturalSpeech2(nn.Module):
         x_self_cond = None
         if self.model.self_cond:
             # with prob p, bootstrap an x₀ estimate (stop-grad, no
-            # self-cond input) and condition the real pass on it
+            # self-cond input) and condition the real pass on it. Both
+            # forwards must share ONE pair of CFG drop masks — independent
+            # draws would train the conditioned prediction on a bootstrap
+            # computed under different prompt/cond dropping (inference
+            # always derives x_self_cond from the same CFG configuration).
+            drop_masks = None
+            if (
+                self.model.condition_on_prompt
+                and self.model.cond_drop_prob > 0.0
+                and not deterministic
+            ):
+                from naturalspeech2_tpu.utils.helpers import prob_mask_like
+
+                p = self.model.cond_drop_prob
+                drop_masks = (
+                    prob_mask_like(self.make_rng("cfg"), (b,), p),
+                    prob_mask_like(self.make_rng("cfg"), (b,), p),
+                )
             use_sc = jax.random.bernoulli(
                 self.make_rng("self_cond"), self.train_prob_self_cond, (b,)
             )
             est = self.model(
                 noised, times, prompt=prompt_enc, cond=cond,
+                cond_drop_mask=drop_masks,
                 deterministic=deterministic,
             )
             if self.objective == "x0":
@@ -260,6 +278,7 @@ class NaturalSpeech2(nn.Module):
         pred = self.model(
             noised, times, prompt=prompt_enc, cond=cond,
             x_self_cond=x_self_cond,
+            cond_drop_mask=drop_masks if self.model.self_cond else None,
             deterministic=deterministic,
         )
 

@@ -229,8 +229,6 @@ class _CTLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, xs):
-        import math
-
         from naturalspeech2_tpu.models.blocks import FeedForward, RMSNorm
 
         ada, context = xs
@@ -341,8 +339,6 @@ class ConditionableTransformer(nn.Module):
         context: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        import math
-
         from naturalspeech2_tpu.models.blocks import FeedForward, RMSNorm
 
         cond = self.dim_cond_mult is not None

@@ -91,6 +91,7 @@ def attn_block_xla(x, gamma, beta, wq, wk, wv, wo, *, scale: float):
 
 def _attn_block_kernel(
     x_ref, gamma_ref, beta_ref, wq_ref, wk_ref, wv_ref, wo_ref, out_ref,
+    acc_scratch,
     *, scale: float, dim: int,
 ):
     h = pl.program_id(1)
@@ -138,13 +139,19 @@ def _attn_block_kernel(
         preferred_element_type=jnp.float32,
     )  # [n, dm]
 
-    # residual seeds the revisited output block; heads accumulate into it
+    # residual seeds an f32 scratch; heads accumulate there and the output
+    # is written ONCE on the last head — accumulating through a bf16
+    # out_ref would round the running sum once per head, diverging from
+    # the f32-accumulating XLA twin that supplies the gradients
     @pl.when(h == 0)
     def _seed():
-        out_ref[0] = x.astype(out_ref.dtype)
+        acc_scratch[:] = x
 
-    out_ref[0] = (out_ref[0].astype(jnp.float32) + y).astype(out_ref.dtype)
-    del n_heads
+    acc_scratch[:] += y
+
+    @pl.when(h == n_heads - 1)
+    def _emit():
+        out_ref[0] = acc_scratch[:].astype(out_ref.dtype)
 
 
 def _fused_forward(x, gamma, beta, wq, wk, wv, wo, *, scale: float):
@@ -167,6 +174,7 @@ def _fused_forward(x, gamma, beta, wq, wk, wv, wo, *, scale: float):
         ],
         out_specs=pl.BlockSpec((1, n, dm), lambda b_, h_: (b_, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, dm), x.dtype),
+        scratch_shapes=[pltpu.VMEM((n, dm), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=96 * 2**20,
@@ -226,9 +234,10 @@ def cross_attn_block_xla(x, ctx, gamma, beta, wq, wk, wv, wo, *, scale: float):
 
 def _cross_attn_block_kernel(
     x_ref, ctx_ref, gamma_ref, beta_ref, wq_ref, wk_ref, wv_ref, wo_ref,
-    out_ref, *, scale: float, dim: int,
+    out_ref, acc_scratch, *, scale: float, dim: int,
 ):
     h = pl.program_id(1)
+    n_heads = pl.num_programs(1)
 
     mm = jnp.bfloat16 if x_ref.dtype == jnp.bfloat16 else jnp.float32
     x = x_ref[0].astype(jnp.float32)  # [n, dm]
@@ -268,11 +277,17 @@ def _cross_attn_block_kernel(
         preferred_element_type=jnp.float32,
     )  # [n, dm]
 
+    # f32 scratch accumulation, one output write on the last head (see
+    # _attn_block_kernel)
     @pl.when(h == 0)
     def _seed():
-        out_ref[0] = x.astype(out_ref.dtype)
+        acc_scratch[:] = x
 
-    out_ref[0] = (out_ref[0].astype(jnp.float32) + y).astype(out_ref.dtype)
+    acc_scratch[:] += y
+
+    @pl.when(h == n_heads - 1)
+    def _emit():
+        out_ref[0] = acc_scratch[:].astype(out_ref.dtype)
 
 
 def _cross_fused_forward(x, ctx, gamma, beta, wq, wk, wv, wo, *, scale: float):
@@ -295,6 +310,7 @@ def _cross_fused_forward(x, ctx, gamma, beta, wq, wk, wv, wo, *, scale: float):
         ],
         out_specs=pl.BlockSpec((1, n, dm), lambda b_, h_: (b_, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, n, dm), x.dtype),
+        scratch_shapes=[pltpu.VMEM((n, dm), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=96 * 2**20,

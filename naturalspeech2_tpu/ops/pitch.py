@@ -183,10 +183,14 @@ def compute_pitch_nccf(
     last = jnp.argmax(final, axis=-1)  # [b]
 
     def backtrack_step(state, bp):
+        # emits the INCOMING state: with reverse=True, ys[j] is frame j+1's
+        # lag and the final carry is frame 0's — concatenate carry first
+        # (emitting post-update and appending `last` instead shifts the
+        # whole track one frame early and drops frame 0)
         return jnp.take_along_axis(bp, state[:, None], axis=1)[:, 0], state
 
-    _, path_rev = jax.lax.scan(backtrack_step, last, back, reverse=True)
-    path = jnp.concatenate([path_rev, last[None]], axis=0)  # [F, b]
+    first, path_rev = jax.lax.scan(backtrack_step, last, back, reverse=True)
+    path = jnp.concatenate([first[None], path_rev], axis=0)  # [F, b]
     path = jnp.moveaxis(path, 0, 1)  # [b, F]
 
     best_nccf = jnp.take_along_axis(nccf, path[..., None], axis=-1)[..., 0]

@@ -51,7 +51,7 @@ _LEXICON: Dict[str, str] = {
     "dont": "doʊnt", "cant": "kænt", "wont": "woʊnt", "isnt": "ˈɪzənt",
     "im": "aɪm", "ive": "aɪv", "id": "aɪd", "ill": "aɪl",
     "youre": "jʊɹ", "theyre": "ðɛɹ", "hes": "hiːz", "shes": "ʃiːz",
-    "were'": "wɪɹ", "lets": "lɛts", "thats": "ðæts", "whats": "wʌts",
+    "we're": "wɪɹ", "lets": "lɛts", "thats": "ðæts", "whats": "wʌts",
     # prepositions / conjunctions
     "to": "tuː", "of": "ʌv", "in": "ɪn", "on": "ɑːn", "at": "æt",
     "by": "baɪ", "for": "fɔːɹ", "with": "wɪð", "without": "wɪðˈaʊt",
@@ -224,7 +224,12 @@ def _suffix_ed(stem_ipa: str) -> str:
 
 
 def word_to_ipa(word: str) -> str:
-    word = word.lower().replace("'", "")
+    word = word.lower()
+    # apostrophe-bearing lookup first: "we're" must not collapse onto the
+    # past-tense "were" before the lexicon gets a chance
+    if word in _LEXICON:
+        return _LEXICON[word]
+    word = word.replace("'", "")
     if word in _LEXICON:
         return _LEXICON[word]
 

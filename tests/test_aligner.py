@@ -211,6 +211,30 @@ def test_nccf_detects_sine():
         assert abs(np.median(voiced) - freq) / freq < 0.02, (freq, np.median(voiced))
 
 
+def test_nccf_step_frequency_alignment():
+    """A frequency step must appear at the right frame — the Viterbi
+    backtrack used to emit the pre-update carry, shifting the whole track
+    one frame early and dropping frame 0."""
+    from naturalspeech2_tpu.ops.pitch import compute_pitch_nccf
+
+    sr, hop = 24000, 160
+    t = np.arange(sr) / sr
+    # non-octave step (150 -> 210 Hz): the old-lag correlation collapses so
+    # the tracker must actually move (an octave step would stay ambiguous)
+    freq = np.where(t < 0.5, 150.0, 210.0)
+    phase = 2 * np.pi * np.cumsum(freq) / sr
+    audio = jnp.asarray(np.sin(phase)[None, :], jnp.float32)
+    f0 = np.asarray(compute_pitch_nccf(audio, sample_rate=sr, hop_length=hop))[0]
+    mid = len(f0) // 2
+    first = f0[5 : mid - 5]
+    second = f0[mid + 5 : -5]
+    first, second = first[first > 0], second[second > 0]
+    assert abs(np.median(first) - 150.0) / 150.0 < 0.03, np.median(first)
+    assert abs(np.median(second) - 210.0) / 210.0 < 0.03, np.median(second)
+    # frame 0 is decoded (not dropped/duplicated from its neighbour's lag)
+    assert f0[0] == 0 or abs(f0[0] - 150.0) / 150.0 < 0.1, f0[0]
+
+
 def test_nccf_silence_unvoiced():
     from naturalspeech2_tpu.ops.pitch import compute_pitch_nccf
 
