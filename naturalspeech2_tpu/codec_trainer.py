@@ -157,17 +157,26 @@ class CodecTrainer:
                 generator_hinge_loss,
             )
 
-            # D is frozen inside the generator loss
-            fake_logits, fake_feats = self.discriminator.apply(
-                {"params": jax.lax.stop_gradient(disc_params)}, recon
-            )
-            real_logits, real_feats = self.discriminator.apply(
-                {"params": jax.lax.stop_gradient(disc_params)}, audio
-            )
-            adv = generator_hinge_loss(fake_logits)
-            feat = feature_matching_loss(
-                jax.lax.stop_gradient(real_feats), fake_feats
-            )
+            def with_adv(_):
+                # D is frozen inside the generator loss
+                fake_logits, fake_feats = self.discriminator.apply(
+                    {"params": jax.lax.stop_gradient(disc_params)}, recon
+                )
+                _, real_feats = self.discriminator.apply(
+                    {"params": jax.lax.stop_gradient(disc_params)}, audio
+                )
+                adv = generator_hinge_loss(fake_logits)
+                feat = feature_matching_loss(
+                    jax.lax.stop_gradient(real_feats), fake_feats
+                )
+                return adv, feat
+
+            def without_adv(_):
+                return jnp.zeros(()), jnp.zeros(())
+
+            # warmup steps (adv_on == 0) skip the two D forwards entirely
+            # instead of computing them into a zero-scaled term
+            adv, feat = jax.lax.cond(adv_on > 0, with_adv, without_adv, None)
             loss = loss + adv_on * (
                 self.adversarial_weight * adv + self.feature_weight * feat
             )
