@@ -210,13 +210,22 @@ class CodecTrainer:
                 fake_logits, _ = self.discriminator.apply({"params": dp}, fake)
                 return discriminator_hinge_loss(real_logits, fake_logits)
 
-            d_val, d_grads = jax.value_and_grad(d_loss)(disc_params)
-            # freeze D until warmup ends (and let metrics show its loss)
-            d_grads = jax.tree_util.tree_map(lambda g: g * adv_on, d_grads)
-            d_updates, disc_opt_state = self.disc_optimizer.update(
-                d_grads, disc_opt_state, disc_params
+            # the whole D step sits under the warmup cond: zero-scaled grads
+            # would still pay two D forwards + a backward per warmup step
+            # and advance Adam's counts while D is frozen
+            def d_update(operand):
+                dp, dos = operand
+                d_val, d_grads = jax.value_and_grad(d_loss)(dp)
+                d_updates, dos = self.disc_optimizer.update(d_grads, dos, dp)
+                return optax.apply_updates(dp, d_updates), dos, d_val
+
+            def d_skip(operand):
+                dp, dos = operand
+                return dp, dos, jnp.zeros(())
+
+            disc_params, disc_opt_state, d_val = jax.lax.cond(
+                adv_on > 0, d_update, d_skip, (disc_params, disc_opt_state)
             )
-            disc_params = optax.apply_updates(disc_params, d_updates)
             metrics["adv_d"] = d_val
 
         # EMA codebook update from assignment statistics (per stage, the

@@ -147,14 +147,18 @@ class ProgressiveDistiller:
         )  # student initialised from teacher
         opt_state = self.optimizer.init(student_params)
 
+        # teacher_params is a jit ARGUMENT, not a closure: closed-over
+        # params embed as HLO literals (hundreds of MB at real scale — the
+        # same constant-embedding failure bench.py documents) and would
+        # also force a re-trace every halving round
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def update_chunk(student_params, opt_state, xs, keys):
+        def update_chunk(student_params, opt_state, teacher_params, xs, keys):
             def step(carry, inp):
                 sp, os_ = carry
                 x_data, key = inp
                 loss, grads = jax.value_and_grad(
                     lambda p: distillation_loss(
-                        self.model, p, self.teacher_params, x_data, key,
+                        self.model, p, teacher_params, x_data, key,
                         num_student_steps=num_student_steps,
                         gamma_schedule=self.ns2.gamma_schedule,
                         scale=self.ns2.scale,
@@ -179,7 +183,8 @@ class ProgressiveDistiller:
             )
             key, k = jax.random.split(key)
             student_params, opt_state, loss = update_chunk(
-                student_params, opt_state, xs, jax.random.split(k, m)
+                student_params, opt_state, self.teacher_params, xs,
+                jax.random.split(k, m),
             )
             done += m
         self.teacher_params = student_params  # ready for the next halving

@@ -257,9 +257,15 @@ class NaturalSpeech2(nn.Module):
                     prob_mask_like(self.make_rng("cfg"), (b,), p),
                     prob_mask_like(self.make_rng("cfg"), (b,), p),
                 )
-            use_sc = jax.random.bernoulli(
-                self.make_rng("self_cond"), self.train_prob_self_cond, (b,)
-            )
+            if deterministic:
+                # eval-loss path: no 'self_cond' rng required — condition
+                # every sample on the bootstrap (the inference analogue,
+                # where x_self_cond always carries the previous estimate)
+                use_sc = jnp.ones((b,), dtype=bool)
+            else:
+                use_sc = jax.random.bernoulli(
+                    self.make_rng("self_cond"), self.train_prob_self_cond, (b,)
+                )
             est = self.model(
                 noised, times, prompt=prompt_enc, cond=cond,
                 cond_drop_mask=drop_masks,

@@ -343,6 +343,10 @@ class ConditionableTransformer(nn.Module):
 
         cond = self.dim_cond_mult is not None
         norms_per_layer = 3 if self.cross_attn else 2
+        if self.cross_attn:
+            # fail here, not as an opaque shape error deep inside the scan
+            # path (which substitutes a zeros placeholder for scan xs)
+            assert context is not None, "cross_attn=True requires context"
 
         if cond:
             # one stacked projection computes every adaptive norm's γ/β for

@@ -197,8 +197,7 @@ def ring_attend(
             jnp.zeros((b, h, n_local, d), jnp.float32), axis
         )
 
-        def hop(carry, hop_idx):
-            m, l, acc, k_cur, v_cur, mask_cur = carry
+        def accumulate(m, l, acc, k_cur, v_cur, mask_cur, hop_idx):
             # kv chunk currently held came from shard (shard - hop) mod P
             src = (shard - hop_idx) % p
             col = src * n_local + jnp.arange(n_local)  # global key cols
@@ -224,14 +223,23 @@ def ring_attend(
                 "bhij,bhjd->bhid", p_.astype(v_cur.dtype), v_cur,
                 preferred_element_type=jnp.float32,
             )
+            return m_new, l, acc
 
-            k_nxt = jax.lax.ppermute(k_cur, axis, perm)
-            v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-            mask_nxt = jax.lax.ppermute(mask_cur, axis, perm)
-            return (m_new, l, acc, k_nxt, v_nxt, mask_nxt), ()
+        # hop 0 consumes the local chunk BEFORE any rotation, so the ring
+        # needs exactly p-1 ppermutes (rotating inside every hop would send
+        # one extra discarded kv chunk per device)
+        m, l, acc = accumulate(m0, l0, acc0, k_l, v_l, mask_l, 0)
+
+        def hop(carry, hop_idx):
+            m, l, acc, k_cur, v_cur, mask_cur = carry
+            k_cur = jax.lax.ppermute(k_cur, axis, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            mask_cur = jax.lax.ppermute(mask_cur, axis, perm)
+            m, l, acc = accumulate(m, l, acc, k_cur, v_cur, mask_cur, hop_idx)
+            return (m, l, acc, k_cur, v_cur, mask_cur), ()
 
         (m, l, acc, _, _, _), _ = jax.lax.scan(
-            hop, (m0, l0, acc0, k_l, v_l, mask_l), jnp.arange(p)
+            hop, (m, l, acc, k_l, v_l, mask_l), jnp.arange(1, p)
         )
         safe_l = jnp.where(l == 0.0, 1.0, l)
         return (acc / safe_l[..., None]).astype(q_l.dtype)
