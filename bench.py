@@ -116,6 +116,110 @@ def _retry(fn, attempts=2):
     raise last
 
 
+def _optional(fn, attempts=2):
+    """Secondary matrix legs: retry, then record None rather than zeroing
+    the whole bench on one flaky remote compile."""
+    try:
+        return _retry(fn, attempts)
+    except Exception as e:
+        import sys
+
+        print(f"bench leg failed: {e!r}", file=sys.stderr)
+        return None
+
+
+def measure_sampling_config(dim, depth, batch, length, n_steps, *, bf16=False,
+                            repeats=3):
+    """BASELINE configs 4/5: full n_steps-step DDIM `lax.scan` as ONE
+    program (scan_layers keeps the traced program compile-service-sized).
+    Returns (step_ms, rtf) where RTF assumes the codec's 320× hop at
+    24 kHz (reference Encodec framing)."""
+    from naturalspeech2_tpu.models.denoiser import Model
+    from naturalspeech2_tpu.models.naturalspeech2 import ddim_sample
+    from naturalspeech2_tpu.ops.schedules import sigmoid_schedule
+
+    model = Model(
+        dim=dim, depth=depth, heads=8, dim_head=64, use_flash_attn=True,
+        scan_layers=True,
+    )
+    x = jnp.zeros((batch, length, dim), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, jnp.zeros((batch,)))
+    if bf16:
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            params,
+        )
+
+    @jax.jit
+    def run(params, key):
+        def denoise_fn(audio, times):
+            out = model.apply(
+                params, audio.astype(jnp.bfloat16 if bf16 else jnp.float32),
+                times,
+            )
+            return out.astype(jnp.float32)
+
+        return ddim_sample(
+            denoise_fn, key, (batch, length, dim), timesteps=n_steps,
+            gamma_schedule=sigmoid_schedule, objective="v",
+        )
+
+    s = float(run(params, jax.random.PRNGKey(1)).sum())  # compile + sync
+    assert jnp.isfinite(s), s
+    best = float("inf")
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        float(run(params, jax.random.PRNGKey(2 + r)).sum())
+        best = min(best, time.perf_counter() - t0)
+    step_ms = best / n_steps * 1e3
+    rtf = (batch * length * 320 / 24000) / best
+    return step_ms, rtf
+
+
+def measure_conditional_rtf(repeats=2):
+    """README config 2 end-to-end: full conditioning stack (prompt encoder,
+    phoneme encoder, duration/pitch, aligner) + 100-step batch-doubled CFG
+    sampling + codec decode. Returns generated-audio-seconds / wall-second
+    (RTF) at steady state."""
+    from naturalspeech2_tpu import Model, NaturalSpeech2, SoundStream, sample
+
+    codec = SoundStream()
+    model = Model(
+        dim=128, depth=6, dim_prompt=512, cond_drop_prob=0.25,
+        condition_on_prompt=True,
+    )
+    ns2 = NaturalSpeech2(model=model, codec=codec, timesteps=1000)
+    key = jax.random.PRNGKey(0)
+    audio = jax.random.uniform(key, (4, 98304), minval=-1, maxval=1)
+    prompt = jax.random.uniform(
+        jax.random.PRNGKey(1), (4, 32768), minval=-1, maxval=1
+    )
+    text = jax.random.randint(jax.random.PRNGKey(2), (4, 100), 0, 100)
+    text_lens = jnp.array([100, 100, 80, 120])
+    rngs = {n: key for n in ("params", "times", "noise", "cfg", "dropout")}
+    variables = ns2.init(
+        rngs, audio, text=text, text_lens=text_lens, prompt=prompt
+    )
+    codec_full = codec.init(key, audio[:1, :3200])
+    params = dict(variables["params"])
+    params["codec"] = codec_full["params"]
+    variables = {"params": params}
+
+    f = jax.jit(lambda v, k: sample(
+        ns2, v, k, length=512, prompt=prompt, text=text, text_lens=text_lens,
+        cond_scale=3.0, timesteps=100,
+    ))
+    out = f(variables, jax.random.PRNGKey(3))
+    float(out.sum())  # compile + sync
+    best = float("inf")
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        out = f(variables, jax.random.PRNGKey(4 + r))
+        float(out.sum())
+        best = min(best, time.perf_counter() - t0)
+    return (out.shape[0] * out.shape[1] / 24000) / best
+
+
 def main():
     # 200-step chains: real sampling runs 100-1000 steps in ONE scan, so
     # the per-dispatch tunnel latency (~25 ms) must be amortized to noise
@@ -134,6 +238,20 @@ def main():
 
     vs_baseline = tpu_steps_per_sec / cpu_steps_per_sec
 
+    # full matrix (VERDICT r2 #5): every headline README number measured by
+    # the driver-run bench, one JSON line, single source of truth
+    cond_rtf = _optional(lambda: measure_conditional_rtf())
+    scaled = _optional(
+        lambda: measure_sampling_config(512, 12, 16, 1024, 100)
+    )
+    scaled_bf16 = _optional(
+        lambda: measure_sampling_config(512, 12, 16, 1024, 100, bf16=True)
+    )
+    longform = _optional(
+        lambda: measure_sampling_config(128, 6, 1, 4500, 50)
+    )
+
+    rnd = lambda v, n=2: None if v is None else round(v, n)
     print(
         json.dumps(
             {
@@ -147,6 +265,13 @@ def main():
                 "cfg_batch_doubled_steps_per_sec": round(cfg_steps_per_sec, 2),
                 "bf16_steps_per_sec": round(bf16_steps_per_sec, 2),
                 "cpu_baseline_steps_per_sec": round(cpu_steps_per_sec, 4),
+                "conditional_pipeline_rtf": rnd(cond_rtf, 1),
+                "scaled_dim512_step_ms": rnd(None if scaled is None else scaled[0]),
+                "scaled_dim512_rtf": rnd(None if scaled is None else scaled[1], 1),
+                "scaled_dim512_bf16_step_ms": rnd(
+                    None if scaled_bf16 is None else scaled_bf16[0]
+                ),
+                "longform_60s_rtf": rnd(None if longform is None else longform[1], 1),
             }
         )
     )

@@ -61,6 +61,7 @@ class CodecTrainer:
         disc_channels: int = 32,
         disc_scales=None,
         codebook_ema_decay: float = 0.99,
+        dead_code_threshold: float = 0.5,
         max_grad_norm: float = 1.0,
         mesh=None,
         results_folder: str = "./results_codec",
@@ -75,6 +76,12 @@ class CodecTrainer:
         self.feature_weight = feature_weight
         self.adversarial_warmup = adversarial_warmup
         self.decay = codebook_ema_decay
+        # SoundStream recipe: codes whose EMA assignment count falls below
+        # this are re-seeded from random encoder outputs of the current
+        # batch (0 disables). With decay 0.99 an EMA count is roughly
+        # "assignments per batch", so 0.5 ≈ "used less than every other
+        # batch". Prevents silent codebook collapse.
+        self.dead_code_threshold = dead_code_threshold
         self.mesh = mesh if mesh is not None else make_mesh()
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
@@ -236,22 +243,51 @@ class CodecTrainer:
         ema = state.codebook_ema
         count = state.codebook_count
         decay = self.decay
+        # per-step key for dead-code restarts; PRNGKey(const) traces once
+        restart_key = jax.random.fold_in(
+            jax.random.PRNGKey(self.seed ^ 0x5EED), state.step
+        )
         new_ema, new_count, new_cb = [], [], []
+        perps, usages, restarts_n = [], [], []
         for qi in range(num_q):
             onehot = jax.nn.one_hot(codes[:, qi], K, dtype=flat.dtype)  # [m, K]
             sums = onehot.T @ residual  # [K, d]
             cnts = onehot.sum(axis=0)  # [K]
             e = ema[qi] * decay + sums * (1 - decay)
             c = count[qi] * decay + cnts * (1 - decay)
-            new_ema.append(e)
-            new_count.append(c)
             # dead codes keep their old entry; live codes move to EMA mean
             cb_q = jnp.where(
                 (c > 1e-3)[:, None], e / jnp.maximum(c, 1e-3)[:, None],
                 codebooks[qi],
             )
+            if self.dead_code_threshold > 0:
+                # SoundStream random-restart: re-seed codes whose EMA count
+                # has decayed below threshold from random residuals of THIS
+                # batch, and reset their statistics so the restart sticks
+                # for ~1/(1-decay) steps before it can trigger again
+                dead = c < self.dead_code_threshold
+                idx = jax.random.randint(
+                    jax.random.fold_in(restart_key, qi), (K,), 0,
+                    residual.shape[0],
+                )
+                seeds = jax.lax.stop_gradient(residual[idx])
+                cb_q = jnp.where(dead[:, None], seeds, cb_q)
+                e = jnp.where(dead[:, None], seeds * 1.0, e)
+                c = jnp.where(dead, jnp.ones_like(c), c)
+                restarts_n.append(dead.sum())
+            new_ema.append(e)
+            new_count.append(c)
             new_cb.append(cb_q)
+            # codebook-health metrics from this batch's assignment histogram
+            p = cnts / jnp.maximum(cnts.sum(), 1.0)
+            perps.append(jnp.exp(-jnp.sum(p * jnp.log(jnp.maximum(p, 1e-10)))))
+            usages.append((cnts > 0).mean())
             residual = residual - codebooks[qi][codes[:, qi]]
+
+        metrics["perplexity"] = jnp.stack(perps).mean()
+        metrics["usage"] = jnp.stack(usages).mean()
+        if restarts_n:
+            metrics["restarts"] = jnp.stack(restarts_n).sum()
 
         params = dict(params)
         params["codebooks"] = jnp.stack(new_cb)
@@ -285,20 +321,80 @@ class CodecTrainer:
                 print(
                     f"codec step {step}: loss {float(metrics['loss']):.4f} "
                     f"(wav {float(metrics['wav_l1']):.4f}, "
-                    f"stft {float(metrics['stft']):.4f})"
+                    f"stft {float(metrics['stft']):.4f}, "
+                    f"perp {float(metrics['perplexity']):.1f}, "
+                    f"usage {float(metrics['usage']):.2f}, "
+                    f"restarts {int(metrics.get('restarts', 0))})"
                 )
             batch = next(self.batches)
         return self.state
 
     def save(self, milestone) -> str:
+        """Full-train-state checkpoint: generator + discriminator params,
+        BOTH optimizer states and the codebook EMA statistics, so ``load``
+        resumes bit-for-bit (the reference never trains its codec — Encodec
+        arrives pretrained — so this has no reference analogue)."""
         payload = {
             "step": np.asarray(self.state.step),
             "params": flax.serialization.to_state_dict(self.state.params),
+            "opt_state": flax.serialization.to_state_dict(self.state.opt_state),
+            "codebook_ema": np.asarray(self.state.codebook_ema),
+            "codebook_count": np.asarray(self.state.codebook_count),
         }
         if self.state.disc_params is not None:
             payload["disc_params"] = flax.serialization.to_state_dict(
                 self.state.disc_params
             )
+            payload["disc_opt_state"] = flax.serialization.to_state_dict(
+                self.state.disc_opt_state
+            )
         path = self.results_folder / f"codec-{milestone}.ckpt"
         path.write_bytes(flax.serialization.msgpack_serialize(payload))
         return str(path)
+
+    def latest_checkpoint(self) -> Optional[str]:
+        ckpts = sorted(
+            self.results_folder.glob("codec-*.ckpt"),
+            key=lambda p: p.stat().st_mtime,
+        )
+        return str(ckpts[-1]) if ckpts else None
+
+    def load(self, path, example_batch: Optional[np.ndarray] = None):
+        """Restore a ``save()`` checkpoint. If the trainer has no state yet
+        an ``example_batch`` (or the batch iterator) provides the template
+        shapes. Old checkpoints without optimizer/EMA entries restore what
+        they have and keep fresh values for the rest."""
+        if self.state is None:
+            if example_batch is None:
+                example_batch = next(self.batches)
+            self.init_state(example_batch)
+        payload = flax.serialization.msgpack_restore(Path(path).read_bytes())
+        s = self.state
+        restore = flax.serialization.from_state_dict
+        self.state = CodecTrainState(
+            step=jnp.asarray(payload["step"]),
+            params=restore(s.params, payload["params"]),
+            opt_state=(
+                restore(s.opt_state, payload["opt_state"])
+                if "opt_state" in payload else s.opt_state
+            ),
+            codebook_ema=(
+                jnp.asarray(payload["codebook_ema"])
+                if "codebook_ema" in payload else s.codebook_ema
+            ),
+            codebook_count=(
+                jnp.asarray(payload["codebook_count"])
+                if "codebook_count" in payload else s.codebook_count
+            ),
+            disc_params=(
+                restore(s.disc_params, payload["disc_params"])
+                if "disc_params" in payload and s.disc_params is not None
+                else s.disc_params
+            ),
+            disc_opt_state=(
+                restore(s.disc_opt_state, payload["disc_opt_state"])
+                if "disc_opt_state" in payload and s.disc_opt_state is not None
+                else s.disc_opt_state
+            ),
+        )
+        return self.state

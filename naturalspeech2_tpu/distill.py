@@ -151,11 +151,16 @@ class ProgressiveDistiller:
         # params embed as HLO literals (hundreds of MB at real scale — the
         # same constant-embedding failure bench.py documents) and would
         # also force a re-trace every halving round
+        # `do` masks padded tail steps so a final partial chunk keeps the
+        # scan length (and therefore the compiled program) fixed — a
+        # ragged last chunk would otherwise force a second full
+        # trace+compile, re-paying the dispatch latency the chunking
+        # exists to amortize
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def update_chunk(student_params, opt_state, teacher_params, xs, keys):
+        def update_chunk(student_params, opt_state, teacher_params, xs, keys, do):
             def step(carry, inp):
                 sp, os_ = carry
-                x_data, key = inp
+                x_data, key, live = inp
                 loss, grads = jax.value_and_grad(
                     lambda p: distillation_loss(
                         self.model, p, teacher_params, x_data, key,
@@ -164,13 +169,19 @@ class ProgressiveDistiller:
                         scale=self.ns2.scale,
                     )
                 )(sp)
-                updates, os_ = self.optimizer.update(grads, os_, sp)
-                return (optax.apply_updates(sp, updates), os_), loss
+                updates, os_new = self.optimizer.update(grads, os_, sp)
+                sp_new = optax.apply_updates(sp, updates)
+                keep = lambda new, old: jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(live, a, b), new, old
+                )
+                return (keep(sp_new, sp), keep(os_new, os_)), (loss, live)
 
-            (sp, os_), losses = jax.lax.scan(
-                step, (student_params, opt_state), (xs, keys)
+            (sp, os_), (losses, lives) = jax.lax.scan(
+                step, (student_params, opt_state), (xs, keys, do)
             )
-            return sp, os_, losses[-1]
+            # last LIVE loss (padded steps report the padded batch's loss)
+            idx = jnp.sum(lives.astype(jnp.int32)) - 1
+            return sp, os_, losses[idx]
 
         key = jax.random.PRNGKey(seed)
         loss = None
@@ -178,13 +189,15 @@ class ProgressiveDistiller:
         chunk = max(1, updates_per_jit)
         while done < n_updates:
             m = min(chunk, n_updates - done)
-            xs = jnp.stack(
-                [jnp.asarray(next(latent_batches)) for _ in range(m)]
-            )
+            batches = [jnp.asarray(next(latent_batches)) for _ in range(m)]
+            # pad the tail chunk to the fixed scan length; `do` masks the pads
+            batches += [batches[-1]] * (chunk - m)
+            xs = jnp.stack(batches)
+            do = jnp.arange(chunk) < m
             key, k = jax.random.split(key)
             student_params, opt_state, loss = update_chunk(
                 student_params, opt_state, self.teacher_params, xs,
-                jax.random.split(k, m),
+                jax.random.split(k, chunk), do,
             )
             done += m
         self.teacher_params = student_params  # ready for the next halving

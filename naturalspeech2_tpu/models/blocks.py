@@ -169,7 +169,9 @@ class ConvUnit(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
         x = nn.Conv(self.dim_out, (self.kernel,), padding=self.kernel // 2)(x)
-        x = nn.GroupNorm(num_groups=self.groups)(x)
+        # epsilon follows torch nn.GroupNorm (1e-5; flax defaults to 1e-6) so
+        # the shared-weights oracle parity holds at tight tolerances
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5)(x)
         x = nn.silu(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 

@@ -90,6 +90,7 @@ class PhonemeEncoder(nn.Module):
     conv_dropout: float = 0.2
     attn_dropout: float = 0.0
     use_flash: bool = False
+    gelu_approximate: bool = True  # False = exact erf (reference parity)
 
     @nn.compact
     def __call__(
@@ -111,6 +112,7 @@ class PhonemeEncoder(nn.Module):
             heads=self.heads,
             dropout=self.attn_dropout,
             use_flash=self.use_flash,
+            gelu_approximate=self.gelu_approximate,
             name="transformer",
         )(x, mask=mask, deterministic=deterministic)
 
@@ -130,6 +132,7 @@ class SpeechPromptEncoder(nn.Module):
     dropout: float = 0.2
     kernel_size: int = 9
     use_flash_attn: bool = True
+    gelu_approximate: bool = True  # False = exact erf (reference parity)
 
     @property
     def dim_out(self) -> int:
@@ -148,6 +151,7 @@ class SpeechPromptEncoder(nn.Module):
             dim_head=self.dim_head,
             dropout=self.dropout,
             use_flash=self.use_flash_attn,
+            gelu_approximate=self.gelu_approximate,
             name="transformer",
         )(x, deterministic=deterministic)
 

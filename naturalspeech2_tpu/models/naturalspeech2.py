@@ -199,10 +199,17 @@ class NaturalSpeech2(nn.Module):
         prompt: Optional[jax.Array] = None,
         pitch: Optional[jax.Array] = None,
         deterministic: bool = False,
+        times: Optional[jax.Array] = None,
+        noise: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         """Training losses. Returns dict with 'loss' (total), 'diffusion',
         and (conditional) 'duration', 'pitch', 'align' components
-        (ref forward :1503-1684)."""
+        (ref forward :1503-1684).
+
+        ``times``/``noise`` inject the diffusion draws explicitly instead of
+        drawing from the 'times'/'noise' rng collections — deterministic
+        replay for parity tests and debugging (the reference draws
+        internally, :1621-1626)."""
         prompt_enc = None
         cond = None
         aux_loss = 0.0
@@ -229,8 +236,12 @@ class NaturalSpeech2(nn.Module):
         b, n, d = audio.shape
         assert d == self.dim
 
-        times = jax.random.uniform(self.make_rng("times"), (b,))
-        noise = jax.random.normal(self.make_rng("noise"), audio.shape, audio.dtype)
+        if times is None:
+            times = jax.random.uniform(self.make_rng("times"), (b,))
+        if noise is None:
+            noise = jax.random.normal(
+                self.make_rng("noise"), audio.shape, audio.dtype
+            )
 
         gamma = self.gamma_schedule(times)[:, None, None]
         alpha, sigma = gamma_to_alpha_sigma(gamma, self.scale)

@@ -185,13 +185,15 @@ def _fused_forward(x, gamma, beta, wq, wk, wv, wo, *, scale: float):
 
 def _cross_vmem_bytes(n: int, m: int, dm: int, dc: int, dh: int) -> int:
     """f32 footprint for the cross block: x/out (double-buffered) + ctx +
-    [n, m] logits + q/k/v + per-head weight blocks."""
+    [n, m] logits + q/k/v (lane-padded to 128, matching ``_vmem_bytes``) +
+    per-head weight blocks."""
+    dh_pad = max(dh, 128)
     return 4 * (
         4 * n * dm
         + m * dc
         + n * m
-        + n * dh + 2 * m * dh
-        + dm * dh + 2 * dc * dh + dh * dm
+        + n * dh_pad + 2 * m * dh_pad
+        + 2 * dm * dh_pad + 2 * dc * dh_pad
         + n
     )
 

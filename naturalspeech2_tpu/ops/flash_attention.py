@@ -627,6 +627,31 @@ def _flash_bwd(causal, scale, dropout_rate, residuals, g):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def flash_attention_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+):
+    """Forward-only flash attention that also returns the per-row
+    logsumexp ``[b, h, n_q]`` — the statistic needed to combine partial
+    (per-kv-chunk) attention outputs, e.g. across ring-attention hops
+    (`parallel/sp.ring_attend`): for chunk outputs ``o_i`` with logsumexps
+    ``lse_i``, the exact full result is ``Σ o_i·exp(lse_i − lse)`` with
+    ``lse = logaddexp_i(lse_i)``. Rows fully masked within a chunk return
+    ``lse = NEG_INF`` and ``o = 0`` so they drop out of the combination.
+    NOT differentiable (bypasses the custom_vjp wrapper) — inference
+    compositions only."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    out, lse = _flash_forward(
+        q, k, v, mask, None, causal=False, scale=float(scale)
+    )
+    return out, lse[:, :, : q.shape[2], 0]
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,

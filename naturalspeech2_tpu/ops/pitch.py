@@ -219,30 +219,48 @@ def compute_pitch_pyworld(
     sample_rate: int,
     hop_length: int,
     pitch_fmax: float = 640.0,
+    strict: bool = False,
 ):
     """Host-callback parity path: pyworld DIO+StoneMask when the package is
     installed (reference `compute_pitch_pyworld`, :132-160), else the
-    on-device estimator. Returns ``[b, frames]`` numpy/jax array."""
+    on-device estimator. Returns ``[b, frames]`` numpy/jax array.
+
+    Without pyworld the fallback is the on-device ACF estimator — i.e. this
+    function is then NOT a pyworld oracle. To keep parity claims honest, the
+    fallback emits a loud ``UserWarning``, and ``strict=True`` raises instead
+    so callers that genuinely need pyworld numbers cannot silently compare the
+    ACF estimator against itself.
+    """
     try:
         import numpy as _np
         import pyworld as pw  # not installed in the TPU image; optional
-
-        wav_np = _np.asarray(wav, dtype=_np.double)
-        outs = []
-        for sample in wav_np:
-            f0, t = pw.dio(
-                sample,
-                fs=sample_rate,
-                f0_ceil=pitch_fmax,
-                frame_period=1000 * hop_length / sample_rate,
-            )
-            outs.append(pw.stonemask(sample, f0, t, sample_rate))
-        return _np.stack(outs)
     except ImportError:
+        msg = (
+            "pyworld is not installed: compute_pitch_pyworld is falling back "
+            "to the on-device ACF estimator. This is NOT a pyworld parity "
+            "reference; pass strict=False knowingly or install pyworld."
+        )
+        if strict:
+            raise RuntimeError(msg) from None
+        import warnings
+
+        warnings.warn(msg, UserWarning, stacklevel=2)
         return compute_pitch(
             jnp.asarray(wav), sample_rate=sample_rate, hop_length=hop_length,
             f0_ceil=pitch_fmax,
         )
+
+    wav_np = _np.asarray(wav, dtype=_np.double)
+    outs = []
+    for sample in wav_np:
+        f0, t = pw.dio(
+            sample,
+            fs=sample_rate,
+            f0_ceil=pitch_fmax,
+            frame_period=1000 * hop_length / sample_rate,
+        )
+        outs.append(pw.stonemask(sample, f0, t, sample_rate))
+    return _np.stack(outs)
 
 
 def f0_to_coarse(

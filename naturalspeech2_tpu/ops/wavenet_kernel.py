@@ -169,6 +169,7 @@ def _lane_kernel(
     skip_w_ref, skip_b_ref, film_ref, out_ref,
     pad_scratch, skip_scratch,
     *, num_stacks: int, num_layers: int, dim: int, pad: int,
+    bf16_matmul: bool = False,
 ):
     """One (batch, lane, stack) grid step: thread lane ``l`` through stack
     ``s``. The lane's sequence lives in ``pad_scratch`` rows [pad:], with a
@@ -204,6 +205,13 @@ def _lane_kernel(
             # sublane-offset slices on the lane dim at larger d ("offset
             # mismatch on non-concat dimension"), and the FLOPs are the same
             def dot(a, b):
+                # bf16_matmul: bf16 MXU operands with f32 accumulation —
+                # the same precision XLA's DEFAULT f32 matmul runs on TPU
+                # (bf16 passes), which is what beat the true-f32 kernel 3×
+                # at d=512; state/gates/statistics stay f32 either way
+                if bf16_matmul:
+                    a = a.astype(jnp.bfloat16)
+                    b = b.astype(jnp.bfloat16)
                 return jax.lax.dot_general(
                     a, b, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -237,12 +245,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fused_forward_per_lane(
-    x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film
+    x, conv_w, conv_b, res_w, res_b, skip_w, skip_b, film,
+    bf16_matmul: bool = False,
 ):
     """Per-lane fused forward: grid (b, L, S), one lane's state + one
     block's weights resident at a time — O(n·d + d²) VMEM instead of the
     whole-stack kernel's O(L·n·d + L·d²), so dim-512 and long-form (n=4500)
-    configs keep a fused path instead of falling back to XLA."""
+    configs keep a fused path instead of falling back to XLA.
+
+    ``bf16_matmul`` runs the MXU contractions on bf16 operands with f32
+    accumulation (XLA-default-precision equivalent) — the d=512 probe
+    (examples/wavenet_d512_probe.py)."""
     b, n, d = x.shape
     S, L = conv_w.shape[:2]
     pad = _round_up(max(8, 2 * 2 ** (L - 1)), 8)
@@ -250,6 +263,7 @@ def _fused_forward_per_lane(
     return pl.pallas_call(
         functools.partial(
             _lane_kernel, num_stacks=S, num_layers=L, dim=d, pad=pad,
+            bf16_matmul=bf16_matmul,
         ),
         grid=(b, L, S),
         in_specs=[
@@ -341,8 +355,18 @@ def _fwd(*args):
 
 
 def _bwd(residuals, g):
-    _, vjp = jax.vjp(wavenet_body_xla, *residuals)
-    return vjp(g)
+    # The fused forward kernels accumulate in f32, so the backward's
+    # recomputed chain must too — `wavenet_body_xla` runs at x.dtype, and
+    # replaying it in bf16 would differentiate a lower-precision forward
+    # than the one actually executed. Upcast primals (uniform f32 carry
+    # keeps the scan-carry-type invariant), then cast each cotangent back
+    # to its primal's dtype.
+    res32 = tuple(r.astype(jnp.float32) for r in residuals)
+    _, vjp = jax.vjp(wavenet_body_xla, *res32)
+    grads = vjp(g.astype(jnp.float32))
+    return tuple(
+        gr.astype(r.dtype) for gr, r in zip(grads, residuals)
+    )
 
 
 fused_wavenet_body.defvjp(_fwd, _bwd)

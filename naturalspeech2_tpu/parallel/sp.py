@@ -28,6 +28,22 @@ from jax import shard_map
 from naturalspeech2_tpu.ops.attention import NEG_INF
 
 
+def _use_flash(backend: str, causal: bool) -> bool:
+    """Resolve the local-attention backend inside the shard_map body.
+
+    'auto' → the Pallas flash kernel on TPU (the O(n)-memory path the
+    long-form config exists for), XLA einsum elsewhere; 'flash' forces the
+    kernel (interpret mode off-TPU — the CPU-mesh equivalence tests).
+    Causal stays on XLA: the kernel's causal mask has no global-row-offset
+    input, and the TTS denoiser's attention is bidirectional."""
+    assert backend in ("auto", "flash", "xla"), backend
+    if causal:
+        return False
+    if backend == "flash":
+        return True
+    return backend == "auto" and jax.default_backend() == "tpu"
+
+
 def sp_attend(
     q: jax.Array,
     k: jax.Array,
@@ -38,6 +54,7 @@ def sp_attend(
     mask: Optional[jax.Array] = None,
     causal: bool = False,
     scale: Optional[float] = None,
+    backend: str = "auto",
 ) -> jax.Array:
     """Context-parallel attention. q/k/v: global ``[b, h, n, d]`` logically,
     sharded over ``axis`` on the sequence dim; mask: ``[b, n]``.
@@ -52,17 +69,30 @@ def sp_attend(
     mask_spec = P(None, axis)
 
     has_mask = mask is not None
+    flash = _use_flash(backend, causal)
 
     def local(q_l, k_l, v_l, mask_l):
         # gather keys/values (and mask) across the sequence shards
         k_full = jax.lax.all_gather(k_l, axis, axis=2, tiled=True)
         v_full = jax.lax.all_gather(v_l, axis, axis=2, tiled=True)
+        mask_full = jax.lax.all_gather(mask_l, axis, axis=1, tiled=True)
+
+        if flash:
+            # local queries × gathered keys through the Pallas flash kernel
+            # (rectangular n/P × n shape; differentiable — the kernel's
+            # custom_vjp composes with shard_map)
+            from naturalspeech2_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(
+                q_l, k_full, v_full,
+                mask=mask_full if has_mask else None, scale=scale,
+            )
+
         sim = jnp.einsum(
             "bhid,bhjd->bhij", q_l, k_full, preferred_element_type=jnp.float32
         ) * scale
 
         if has_mask:
-            mask_full = jax.lax.all_gather(mask_l, axis, axis=1, tiled=True)
             sim = jnp.where(mask_full[:, None, None, :], sim, NEG_INF)
 
         if causal:
@@ -82,6 +112,9 @@ def sp_attend(
         local, mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
         out_specs=qkv_spec,
+        # pallas_call emits ShapeDtypeStructs without varying-mesh-axis
+        # annotations, so the vma checker cannot see through the kernel
+        check_vma=not flash,
     )(q, k, v, mask)
 
 
@@ -153,6 +186,7 @@ def ring_attend(
     mask: Optional[jax.Array] = None,
     causal: bool = False,
     scale: Optional[float] = None,
+    backend: str = "auto",
 ) -> jax.Array:
     """Ring attention (Liu et al. 2023): keys/values circulate around the
     device ring via `ppermute` while each shard's queries accumulate
@@ -166,6 +200,12 @@ def ring_attend(
     q/k/v: global ``[b, h, n, d]`` logically, sharded over ``axis`` on the
     sequence dim; mask: ``[b, n]`` key-padding mask. Returns ``[b, h, n,
     d]`` sequence-sharded. Supports causal masking via global positions.
+
+    ``backend`` (see `_use_flash`): on TPU the per-hop chunk attention
+    runs through the Pallas flash kernel, with hop results combined
+    exactly via the kernel's returned logsumexp — the O(n/P)-VMEM path.
+    The flash ring is forward-only (inference/sampling); take gradients
+    with ``backend='xla'``.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -181,6 +221,39 @@ def ring_attend(
         mask = jnp.ones((b, n), dtype=bool)
 
     perm = [(i, (i + 1) % p) for i in range(p)]
+    flash = _use_flash(backend, causal)
+
+    def local_flash(q_l, k_l, v_l, mask_l):
+        from naturalspeech2_tpu.ops.flash_attention import (
+            flash_attention_with_lse,
+        )
+
+        o0, lse0 = flash_attention_with_lse(
+            q_l, k_l, v_l, mask=mask_l, scale=scale
+        )
+
+        def hop(carry, _):
+            o, lse, k_cur, v_cur, mask_cur = carry
+            k_cur = jax.lax.ppermute(k_cur, axis, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            mask_cur = jax.lax.ppermute(mask_cur, axis, perm)
+            o_h, lse_h = flash_attention_with_lse(
+                q_l, k_cur, v_cur, mask=mask_cur, scale=scale
+            )
+            # exact combine via per-chunk logsumexp (fully-masked chunks
+            # arrive as lse == NEG_INF / o == 0 and vanish here)
+            lse_new = jnp.logaddexp(lse, lse_h)
+            o = (
+                o * jnp.exp(lse - lse_new)[..., None]
+                + o_h.astype(jnp.float32) * jnp.exp(lse_h - lse_new)[..., None]
+            )
+            return (o, lse_new, k_cur, v_cur, mask_cur), ()
+
+        (o, _, _, _, _), _ = jax.lax.scan(
+            hop, (o0.astype(jnp.float32), lse0, k_l, v_l, mask_l),
+            None, length=p - 1,
+        )
+        return o.astype(q_l.dtype)
 
     def local(q_l, k_l, v_l, mask_l):
         shard = jax.lax.axis_index(axis)
@@ -245,7 +318,8 @@ def ring_attend(
         return (acc / safe_l[..., None]).astype(q_l.dtype)
 
     return shard_map(
-        local, mesh=mesh,
+        local_flash if flash else local, mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),
         out_specs=qkv_spec,
+        check_vma=not flash,  # see sp_attend: pallas outputs carry no vma
     )(q, k, v, mask)
