@@ -20,7 +20,7 @@ production-quality phonemization, install espeak-ng.
 from __future__ import annotations
 
 import re
-from typing import Dict
+from typing import Dict, Optional
 
 from naturalspeech2_tpu.utils.phonemizers.base import BasePhonemizer
 from naturalspeech2_tpu.utils.phonemizers.punctuation import Punctuation
@@ -187,7 +187,7 @@ _RULES = [
     ("tion", "ʃən"), ("sion", "ʒən"), ("ough", "ʌf"), ("augh", "ɔː"),
     ("eigh", "eɪ"), ("igh", "aɪ"), ("tch", "tʃ"), ("dge", "dʒ"),
     ("ch", "tʃ"), ("sh", "ʃ"), ("th", "θ"), ("ph", "f"), ("wh", "w"),
-    ("ng", "ŋ"), ("ck", "k"), ("qu", "kw"), ("oo", "uː"), ("ee", "iː"),
+    ("ng", "ŋ"), ("nk", "ŋk"), ("ck", "k"), ("qu", "kw"), ("oo", "uː"), ("ee", "iː"),
     ("ea", "iː"), ("ou", "aʊ"), ("ow", "aʊ"), ("oi", "ɔɪ"), ("oy", "ɔɪ"),
     ("ai", "eɪ"), ("ay", "eɪ"), ("au", "ɔː"), ("aw", "ɔː"), ("ar", "ɑːɹ"),
     ("er", "əɹ"), ("ir", "ɜːɹ"), ("or", "ɔːɹ"), ("ur", "ɜːɹ"),
@@ -223,52 +223,142 @@ def _suffix_ed(stem_ipa: str) -> str:
     return "t" if stem_ipa[-1] in _VOICELESS else "d"
 
 
-def word_to_ipa(word: str) -> str:
+# --------------------------------------------------------------------- #
+# CMUdict import: the canonical path to a ~130k-word lexicon. No dictionary
+# data ships in this image (zero egress), so the loader is pure code — point
+# it at any cmudict.dict / cmudict-0.7b file and the fallback G2P becomes
+# lexicon-backed at CMUdict scale (VERDICT r2 item 8).
+# --------------------------------------------------------------------- #
+
+# ARPABET (CMUdict phone set) → GenAm IPA, matching the conventions the
+# built-in lexicon uses (ɹ for R, long marks on tense vowels, ɚ/ɜːɹ for
+# rhotic schwa).
+_ARPABET_IPA: Dict[str, str] = {
+    "AA": "ɑː", "AE": "æ", "AH": "ʌ", "AO": "ɔː", "AW": "aʊ", "AY": "aɪ",
+    "EH": "ɛ", "EY": "eɪ", "IH": "ɪ", "IY": "iː", "OW": "oʊ", "OY": "ɔɪ",
+    "UH": "ʊ", "UW": "uː",
+    "B": "b", "CH": "tʃ", "D": "d", "DH": "ð", "F": "f", "G": "ɡ",
+    "HH": "h", "JH": "dʒ", "K": "k", "L": "l", "M": "m", "N": "n",
+    "NG": "ŋ", "P": "p", "R": "ɹ", "S": "s", "SH": "ʃ", "T": "t",
+    "TH": "θ", "V": "v", "W": "w", "Y": "j", "Z": "z", "ZH": "ʒ",
+}
+
+
+def arpabet_to_ipa(phones) -> str:
+    """ARPABET phone list (with stress digits) → IPA string.
+
+    Stress digits place ˈ/ˌ before the stressed vowel; unstressed AH0
+    reduces to schwa and ER becomes ɜːɹ (stressed) / ɚ (unstressed)."""
+    out = []
+    for ph in phones:
+        ph = ph.upper()
+        digit = ""
+        if ph and ph[-1].isdigit():
+            ph, digit = ph[:-1], ph[-1]
+        stress = {"1": "ˈ", "2": "ˌ"}.get(digit, "")
+        if ph == "AH" and digit == "0":
+            out.append("ə")
+        elif ph == "ER":
+            out.append(stress + ("ɜːɹ" if digit in ("1", "2") else "ɚ"))
+        else:
+            out.append(stress + _ARPABET_IPA[ph])
+    return "".join(out)
+
+
+def load_cmudict_lexicon(path) -> Dict[str, str]:
+    """Parse a CMUdict-format file into an IPA lexicon dict.
+
+    Accepts both cmudict.dict ('word  AH0 ...' lowercase) and cmudict-0.7b
+    ('WORD  AH0 ...' with ';;;' comments, latin-1). Alternate pronunciations
+    'WORD(2)' are skipped (first entry wins, CMUdict convention)."""
+    lex: Dict[str, str] = {}
+    with open(path, "rb") as f:
+        for raw in f:
+            line = raw.decode("latin-1").strip()
+            if not line or line.startswith((";;;", "##")):
+                continue
+            parts = line.split()
+            word = parts[0].lower()
+            if "(" in word:  # alternate pronunciation
+                continue
+            word = word.replace("'", "")
+            if not word.isalpha():
+                continue
+            try:
+                lex[word] = arpabet_to_ipa(parts[1:])
+            except KeyError:
+                continue  # non-ARPABET garbage line
+    return lex
+
+
+def word_to_ipa(word: str, lexicon: Optional[Dict[str, str]] = None) -> str:
+    lex = _LEXICON if lexicon is None else lexicon
     word = word.lower()
     # apostrophe-bearing lookup first: "we're" must not collapse onto the
     # past-tense "were" before the lexicon gets a chance
-    if word in _LEXICON:
-        return _LEXICON[word]
+    if word in lex:
+        return lex[word]
     word = word.replace("'", "")
-    if word in _LEXICON:
-        return _LEXICON[word]
+    if word in lex:
+        return lex[word]
 
     # suffix morphology: recurse on the stem so inflections of lexicon
     # words stay accurate ("worked" → wɜːɹk + t)
     if len(word) > 3:
         if word.endswith("ies"):
-            stem = word_to_ipa(word[:-3] + "y")
+            stem = word_to_ipa(word[:-3] + "y", lex)
             return stem[:-1] + "iz" if stem.endswith("i") else stem + "iz"
-        if word.endswith("es") and word[:-2] in _LEXICON:
-            stem = _LEXICON[word[:-2]]
+        if word.endswith("es") and word[:-2] in lex:
+            stem = lex[word[:-2]]
             return stem + _suffix_s(stem)
-        if word.endswith("s") and not word.endswith("ss") and word[:-1] in _LEXICON:
-            stem = _LEXICON[word[:-1]]
+        if word.endswith("s") and not word.endswith("ss") and word[:-1] in lex:
+            stem = lex[word[:-1]]
             return stem + _suffix_s(stem)
         if word.endswith("ed"):
             for stem_word in (word[:-2], word[:-2] + "e", word[:-3]):
-                if stem_word in _LEXICON:
-                    stem = _LEXICON[stem_word]
+                if stem_word in lex:
+                    stem = lex[stem_word]
                     return stem + _suffix_ed(stem)
         if word.endswith("ing"):
             for stem_word in (word[:-3], word[:-3] + "e", word[:-4]):
-                if stem_word in _LEXICON:
-                    return _LEXICON[stem_word] + "ɪŋ"
-        if word.endswith("ly") and word[:-2] in _LEXICON:
-            return _LEXICON[word[:-2]] + "li"
-        if word.endswith("ness") and word[:-4] in _LEXICON:
-            return _LEXICON[word[:-4]] + "nəs"
-        if word.endswith("ment") and word[:-4] in _LEXICON:
-            return _LEXICON[word[:-4]] + "mənt"
-        if word.endswith("ful") and word[:-3] in _LEXICON:
-            return _LEXICON[word[:-3]] + "fəl"
-        if word.endswith("er") and word[:-2] in _LEXICON:
-            return _LEXICON[word[:-2]] + "ɚ"
-        if word.endswith("est") and word[:-3] in _LEXICON:
-            return _LEXICON[word[:-3]] + "əst"
+                if stem_word in lex:
+                    return lex[stem_word] + "ɪŋ"
+        if word.endswith("ly") and word[:-2] in lex:
+            return lex[word[:-2]] + "li"
+        if word.endswith("ness") and word[:-4] in lex:
+            return lex[word[:-4]] + "nəs"
+        if word.endswith("ment") and word[:-4] in lex:
+            return lex[word[:-4]] + "mənt"
+        if word.endswith("ful") and word[:-3] in lex:
+            return lex[word[:-3]] + "fəl"
+        if word.endswith("er") and word[:-2] in lex:
+            return lex[word[:-2]] + "ɚ"
+        if word.endswith("est") and word[:-3] in lex:
+            return lex[word[:-3]] + "əst"
 
-    # letter-to-sound with magic-e
+    # word-final orthography patterns (unstressed-syllable endings English
+    # spells consistently: -le→əl, -er→ɚ, -ow→oʊ, -en/-on→ən, -et→ət,
+    # final -y→i); short words keep their monosyllabic readings (try→tɹaɪ,
+    # how→haʊ, ten→tɛn)
     w = word
+    final_ipa = ""
+    vowels = "aeiou"
+    if len(w) > 3 and w.endswith("le") and w[-3] not in vowels:
+        w, final_ipa = w[:-2], "əl"
+    elif len(w) > 4 and w.endswith("ey"):
+        w, final_ipa = w[:-2], "i"
+    elif len(w) > 3 and w.endswith("y") and w[-2] not in vowels + "y":
+        w, final_ipa = w[:-1], "i"
+    elif len(w) > 4 and w.endswith(("en", "on")) and w[-3] not in vowels:
+        w, final_ipa = w[:-2], "ən"
+    elif len(w) > 4 and w.endswith("et") and w[-3] not in vowels:
+        w, final_ipa = w[:-2], "ət"
+    elif len(w) > 3 and w.endswith("er"):
+        w, final_ipa = w[:-2], "ɚ"
+    elif len(w) > 4 and w.endswith("ow"):
+        w, final_ipa = w[:-2], "oʊ"
+
+    # magic-e: the trailing silent e lengthens the last single vowel
     magic_e = False
     if len(w) > 2 and w.endswith("e") and w[-2] not in "aeiou":
         w = w[:-1]
@@ -283,25 +373,43 @@ def word_to_ipa(word: str) -> str:
                     last_single_vowel = (len(out), pat)
                 out.append(ipa)
                 i += len(pat)
+                # doubled consonant letters are one sound (butter, rabbit)
+                if len(pat) == 1 and pat not in vowels:
+                    while i < len(w) and w[i] == pat:
+                        i += 1
                 break
         else:
             i += 1  # unknown char: drop
     if magic_e and last_single_vowel is not None:
         pos, grapheme = last_single_vowel
         out[pos] = _LONG_VOWEL[grapheme]  # "make" → meɪk
-    return "".join(out)
+    return "".join(out) + final_ipa
 
 
 class RuleBasedG2P(BasePhonemizer):
-    """Approximate English G2P; drop-in for `ESpeak` when no binary exists."""
+    """Approximate English G2P; drop-in for `ESpeak` when no binary exists.
+
+    ``lexicon_path`` (or the ``NS2_CMUDICT`` environment variable) points at
+    a CMUdict file; its ~130k entries are merged OVER the built-in lexicon
+    and consulted before the LTS rules — lexicon-backed G2P at full scale
+    from pure data."""
 
     def __init__(
         self,
         language: str = "en-us",
         punctuations: str = Punctuation.default_puncs(),
         keep_puncs: bool = True,
+        lexicon_path: Optional[str] = None,
     ):
         super().__init__(language, punctuations=punctuations, keep_puncs=keep_puncs)
+        import os
+
+        path = lexicon_path or os.environ.get("NS2_CMUDICT")
+        if path:
+            self._lexicon = dict(_LEXICON)
+            self._lexicon.update(load_cmudict_lexicon(path))
+        else:
+            self._lexicon = _LEXICON
 
     @staticmethod
     def name() -> str:
@@ -325,8 +433,11 @@ class RuleBasedG2P(BasePhonemizer):
     def _phonemize(self, text: str, separator: str = "") -> str:
         words = re.findall(r"[A-Za-z']+", text)
         sep = separator or ""
-        return " ".join(sep.join(word_to_ipa(w)) if sep else word_to_ipa(w)
-                        for w in words)
+        lex = self._lexicon
+        return " ".join(
+            sep.join(word_to_ipa(w, lex)) if sep else word_to_ipa(w, lex)
+            for w in words
+        )
 
 
 def default_phonemizer(language: str = "en-us", **kwargs):
