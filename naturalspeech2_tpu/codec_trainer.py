@@ -63,6 +63,7 @@ class CodecTrainer:
         codebook_ema_decay: float = 0.99,
         dead_code_threshold: float = 0.5,
         max_grad_norm: float = 1.0,
+        amp: bool = False,
         mesh=None,
         results_folder: str = "./results_codec",
         seed: int = 0,
@@ -76,6 +77,10 @@ class CodecTrainer:
         self.feature_weight = feature_weight
         self.adversarial_warmup = adversarial_warmup
         self.decay = codebook_ema_decay
+        # bf16 mixed precision: codec/discriminator forwards run with bf16
+        # params+activations (TPU-native; 2× MXU conv rate), master params,
+        # losses, STFT losses and codebook statistics stay f32
+        self.amp = amp
         # SoundStream recipe: codes whose EMA assignment count falls below
         # this are re-seeded from random encoder outputs of the current
         # batch (0 disables). With decay 0.99 an EMA count is roughly
@@ -135,18 +140,29 @@ class CodecTrainer:
 
     def _losses(self, params, disc_params, audio, adv_on):
         codec = self.codec
+        if self.amp:
+            # bf16 conv compute; master params, codebooks and losses stay f32
+            cast = lambda t: jax.tree_util.tree_map(
+                lambda p: p.astype(jnp.bfloat16)
+                if p.dtype == jnp.float32 else p, t,
+            )
+            run_params = dict(cast(params))
+            run_params["codebooks"] = params["codebooks"]  # RVQ in f32
+            run_audio = audio.astype(jnp.bfloat16)
+        else:
+            run_params, run_audio = params, audio
         latents = codec.apply(
-            {"params": params}, audio, method=codec.encode_latents
+            {"params": run_params}, run_audio, method=codec.encode_latents
         )
         b, n, d = latents.shape
-        flat = latents.reshape(b * n, d)
+        flat = latents.reshape(b * n, d).astype(jnp.float32)
         quantized, codes = rvq_xla(flat, params["codebooks"])
         quantized_st = flat + jax.lax.stop_gradient(quantized - flat)
         recon = codec.apply(
-            {"params": params},
-            quantized_st.reshape(b, n, d),
+            {"params": run_params},
+            quantized_st.reshape(b, n, d).astype(latents.dtype),
             method=codec.decode,
-        )
+        ).astype(jnp.float32)
         wav_l1 = jnp.abs(recon - audio).mean()
         stft_l = multi_resolution_stft_loss(recon, audio)
         commit = ((flat - jax.lax.stop_gradient(quantized)) ** 2).mean()
@@ -166,15 +182,27 @@ class CodecTrainer:
 
             def with_adv(_):
                 # D is frozen inside the generator loss
+                dp = jax.lax.stop_gradient(disc_params)
+                d_in_fake, d_in_real = recon, audio
+                if self.amp:
+                    dp = jax.tree_util.tree_map(
+                        lambda p: p.astype(jnp.bfloat16)
+                        if p.dtype == jnp.float32 else p, dp,
+                    )
+                    d_in_fake = recon.astype(jnp.bfloat16)
+                    d_in_real = audio.astype(jnp.bfloat16)
                 fake_logits, fake_feats = self.discriminator.apply(
-                    {"params": jax.lax.stop_gradient(disc_params)}, recon
+                    {"params": dp}, d_in_fake
                 )
                 _, real_feats = self.discriminator.apply(
-                    {"params": jax.lax.stop_gradient(disc_params)}, audio
+                    {"params": dp}, d_in_real
                 )
-                adv = generator_hinge_loss(fake_logits)
+                f32 = lambda t: jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32), t
+                )
+                adv = generator_hinge_loss(f32(fake_logits))
                 feat = feature_matching_loss(
-                    jax.lax.stop_gradient(real_feats), fake_feats
+                    jax.lax.stop_gradient(f32(real_feats)), f32(fake_feats)
                 )
                 return adv, feat
 
@@ -211,11 +239,26 @@ class CodecTrainer:
             )
 
             fake = jax.lax.stop_gradient(recon)
+            d_audio = audio.astype(jnp.bfloat16) if self.amp else audio
+            d_fake = fake.astype(jnp.bfloat16) if self.amp else fake
 
             def d_loss(dp):
-                real_logits, _ = self.discriminator.apply({"params": dp}, audio)
-                fake_logits, _ = self.discriminator.apply({"params": dp}, fake)
-                return discriminator_hinge_loss(real_logits, fake_logits)
+                run_dp = dp
+                if self.amp:
+                    run_dp = jax.tree_util.tree_map(
+                        lambda p: p.astype(jnp.bfloat16)
+                        if p.dtype == jnp.float32 else p, dp,
+                    )
+                f32 = lambda t: [x.astype(jnp.float32) for x in t]
+                real_logits, _ = self.discriminator.apply(
+                    {"params": run_dp}, d_audio
+                )
+                fake_logits, _ = self.discriminator.apply(
+                    {"params": run_dp}, d_fake
+                )
+                return discriminator_hinge_loss(
+                    f32(real_logits), f32(fake_logits)
+                )
 
             # the whole D step sits under the warmup cond: zero-scaled grads
             # would still pay two D forwards + a backward per warmup step
@@ -305,19 +348,43 @@ class CodecTrainer:
 
     # ------------------------------------------------------------------ #
 
-    def train(self, num_steps: int, log_every: int = 50):
+    def _train_chunk(self, state: CodecTrainState, audio_k: jax.Array):
+        """K steps under one `lax.scan`: ONE host→device upload and ONE
+        dispatch per K steps. Through a high-latency device tunnel the
+        per-call upload+sync dominates the (54 ms) step itself — measured
+        3.7 s/step dispatched singly vs ~0.1 s/step chunked."""
+
+        def body(st, a):
+            return self._train_step(st, a)
+
+        state, ms = jax.lax.scan(body, state, audio_k)
+        return state, jax.tree_util.tree_map(lambda x: x[-1], ms)
+
+    def train(self, num_steps: int, log_every: int = 50,
+              steps_per_jit: int = 8):
         batch = next(self.batches)
         if self.state is None:
             self.init_state(batch)
+        k = max(1, steps_per_jit)
         if self._step_fn is None:
-            self._step_fn = jax.jit(self._train_step, donate_argnums=(0,))
-        bsh = NamedSharding(self.mesh, P(DATA_AXIS))
+            self._step_fn = jax.jit(self._train_chunk, donate_argnums=(0,))
+        bsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
 
-        while int(self.state.step) < num_steps:
-            audio = jax.device_put(np.asarray(batch), bsh)
+        step = int(self.state.step)  # one sync; tracked host-side after
+        while step < num_steps:
+            m = min(k, num_steps - step)
+            stack = [np.asarray(batch)]
+            for _ in range(m - 1):
+                stack.append(np.asarray(next(self.batches)))
+            # pad the tail chunk to the fixed scan length with repeats —
+            # a shorter last chunk would recompile; overshooting num_steps
+            # by < k repeated-data steps is harmless for this trainer
+            while len(stack) < k:
+                stack.append(stack[-1])
+            audio = jax.device_put(np.stack(stack), bsh)
             self.state, metrics = self._step_fn(self.state, audio)
-            step = int(self.state.step)
-            if step % log_every == 0 and is_main_process():
+            step += k
+            if (step // k) % max(1, log_every // k) == 0 and is_main_process():
                 print(
                     f"codec step {step}: loss {float(metrics['loss']):.4f} "
                     f"(wav {float(metrics['wav_l1']):.4f}, "
@@ -327,6 +394,7 @@ class CodecTrainer:
                     f"restarts {int(metrics.get('restarts', 0))})"
                 )
             batch = next(self.batches)
+        step = int(self.state.step)  # final sync
         return self.state
 
     def save(self, milestone) -> str:

@@ -285,3 +285,37 @@ def test_dead_code_restart_disabled(tmp_path):
     state, metrics = step_fn(state, jnp.asarray(base))
     assert "restarts" not in metrics
     assert "perplexity" in metrics and "usage" in metrics
+
+
+def test_chunked_train_loop(tmp_path):
+    """steps_per_jit > 1 runs K steps per dispatch under one lax.scan (one
+    upload + one sync per chunk — the tunnel-latency path) and still counts
+    steps, logs and checkpoints correctly."""
+    tr, base = _make_trainer(tmp_path)
+    state = tr.train(20, log_every=8, steps_per_jit=8)
+    assert int(state.step) >= 20
+    ckpt = tr.save("chunk")
+    tr2, _ = _make_trainer(tmp_path / "resume")
+    tr2.load(ckpt, example_batch=base)
+    assert int(tr2.state.step) == int(state.step)
+
+
+def test_amp_bf16_training(tmp_path):
+    """amp=True: bf16 codec/discriminator compute with f32 master params,
+    losses and codebook statistics; training remains stable and effective."""
+    tr, base = _make_trainer(tmp_path, amp=True)
+    state = tr.init_state(base)
+    step_fn = jax.jit(tr._train_step, donate_argnums=(0,))
+    losses = []
+    for _ in range(8):
+        state, metrics = step_fn(state, jnp.asarray(base))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # warmup=2: adversarial terms join the loss at step 2 (jump expected);
+    # compare within the post-warmup regime
+    assert losses[-1] < losses[3], losses
+    # master params stayed f32
+    assert all(
+        leaf.dtype != jnp.bfloat16
+        for leaf in jax.tree_util.tree_leaves(state.params)
+    )

@@ -127,3 +127,51 @@ def test_run_schedule_halves_to_target():
     with pytest.raises(AssertionError):
         d.run_schedule(latents(), start_steps=6, target_steps=2,
                        updates_per_round=1)
+
+
+def test_distill_round_partial_chunk_pads_are_noops():
+    """n_updates not divisible by updates_per_jit: the tail chunk pads to
+    the fixed scan length with MASKED steps (no second trace/compile of a
+    ragged chunk). Proof: 2 live updates in a 4-step chunk must produce
+    EXACTLY the params of a hand-rolled 2-step Adam loop with the same key
+    schedule — unmasked pads would apply 2 extra updates."""
+    import optax
+
+    from naturalspeech2_tpu.distill import distillation_loss
+
+    ns2, model, params = make_setup()
+    rng = np.random.RandomState(0)
+    live = [rng.randn(2, 4, 8).astype(np.float32) for _ in range(2)]
+
+    def gen():
+        yield from live
+
+    d = ProgressiveDistiller(ns2, params, lr=1e-3)
+    student = d.distill_round(gen(), num_student_steps=4, n_updates=2,
+                              updates_per_jit=4)
+
+    # reference: replicate distill_round's key schedule and apply only the
+    # two live updates
+    key = jax.random.PRNGKey(0)
+    key, k = jax.random.split(key)
+    ckeys = jax.random.split(k, 4)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    sp = jax.tree_util.tree_map(jnp.copy, params)
+    os_ = opt.init(sp)
+    for i in range(2):
+        _, grads = jax.value_and_grad(
+            lambda p: distillation_loss(
+                model, p, params, jnp.asarray(live[i]), ckeys[i],
+                num_student_steps=4, gamma_schedule=ns2.gamma_schedule,
+                scale=ns2.scale,
+            )
+        )(sp)
+        updates, os_ = opt.update(grads, os_, sp)
+        sp = optax.apply_updates(sp, updates)
+
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        student, sp,
+    )
