@@ -171,7 +171,7 @@ def test_distill_round_partial_chunk_pads_are_noops():
 
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-6
+            np.asarray(a), np.asarray(b), atol=2e-5
         ),
         student, sp,
     )
