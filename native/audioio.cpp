@@ -5,8 +5,11 @@
 // this library is the TPU build's native equivalent: WAV (PCM 8/16/24/32 +
 // IEEE float) and FLAC (subset: constant/verbatim/fixed/LPC subframes, all
 // stereo decorrelation modes, 8/16/24-bit) decoding plus a windowed-sinc
-// polyphase resampler. Exposed to Python via ctypes (see
-// naturalspeech2_tpu/native/__init__.py).
+// polyphase resampler. MP3 and Ogg/Vorbis decode through the system codecs
+// (libmpg123 / libvorbisfile, dlopen'd lazily against their stable
+// documented ABIs — no headers or link-time deps), covering the remaining
+// torchaudio container formats the reference's SoundDataset accepts.
+// Exposed to Python via ctypes (see naturalspeech2_tpu/native/__init__.py).
 //
 // C ABI:
 //   int  audio_load(path, &samples, &len, &sr)   -> 0 ok / negative error
@@ -20,6 +23,8 @@
 #include <cmath>
 #include <vector>
 #include <algorithm>
+
+#include <dlfcn.h>
 
 namespace {
 
@@ -403,6 +408,162 @@ double sinc(double x) {
     return std::sin(px) / px;
 }
 
+// --------------------------------------------------------- MP3 (libmpg123)
+//
+// Prototypes follow the stable mpg123 ABI (documented in mpg123.h); the
+// library is loaded at first use so WAV/FLAC paths never pay for it and
+// hosts without the codec fail with a clear error (-8) for .mp3 only.
+
+struct Mpg123Api {
+    int (*init)(void) = nullptr;
+    void* (*new_)(const char*, int*) = nullptr;
+    int (*open)(void*, const char*) = nullptr;
+    int (*getformat)(void*, long*, int*, int*) = nullptr;
+    int (*format_none)(void*) = nullptr;
+    int (*format)(void*, long, int, int) = nullptr;
+    int (*read)(void*, unsigned char*, size_t, size_t*) = nullptr;
+    int (*close)(void*) = nullptr;
+    void (*delete_)(void*) = nullptr;
+    bool ok = false;
+};
+
+const Mpg123Api& mpg123_api() {
+    static Mpg123Api api;
+    static bool tried = false;
+    if (tried) return api;
+    tried = true;
+    void* dl = dlopen("libmpg123.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!dl) return api;
+    api.init = (int (*)(void))dlsym(dl, "mpg123_init");
+    api.new_ = (void* (*)(const char*, int*))dlsym(dl, "mpg123_new");
+    api.open = (int (*)(void*, const char*))dlsym(dl, "mpg123_open");
+    api.getformat =
+        (int (*)(void*, long*, int*, int*))dlsym(dl, "mpg123_getformat");
+    api.format_none = (int (*)(void*))dlsym(dl, "mpg123_format_none");
+    api.format = (int (*)(void*, long, int, int))dlsym(dl, "mpg123_format");
+    api.read = (int (*)(void*, unsigned char*, size_t, size_t*))dlsym(
+        dl, "mpg123_read");
+    api.close = (int (*)(void*))dlsym(dl, "mpg123_close");
+    api.delete_ = (void (*)(void*))dlsym(dl, "mpg123_delete");
+    api.ok = api.init && api.new_ && api.open && api.getformat &&
+             api.format_none && api.format && api.read && api.close &&
+             api.delete_;
+    if (api.ok) api.init();
+    return api;
+}
+
+// mpg123.h constants (stable ABI)
+constexpr int MPG123_OK_ = 0;
+constexpr int MPG123_DONE_ = -12;
+constexpr int MPG123_NEW_FORMAT_ = -11;
+// signed 16-bit: the one output encoding every libmpg123 build supports
+constexpr int MPG123_ENC_SIGNED_16_ = 0x040 | 0x080 | 0x10;
+
+int decode_mp3(const char* path, std::vector<float>& mono, int* sr) {
+    const Mpg123Api& api = mpg123_api();
+    if (!api.ok) return -8;  // codec library unavailable on this host
+    int err = 0;
+    void* h = api.new_(nullptr, &err);
+    if (!h) return -2;
+    int rc = -2;
+    long rate = 0;
+    int channels = 0, enc = 0;
+    if (api.open(h, path) == MPG123_OK_ &&
+        api.getformat(h, &rate, &channels, &enc) == MPG123_OK_ &&
+        channels > 0 && rate > 0) {
+        api.format_none(h);
+        api.format(h, rate, channels, MPG123_ENC_SIGNED_16_);
+        std::vector<unsigned char> buf(1 << 16);
+        size_t done = 0;
+        rc = 0;
+        for (;;) {
+            int r = api.read(h, buf.data(), buf.size(), &done);
+            size_t n = done / sizeof(int16_t) / (size_t)channels;
+            const int16_t* pcm = (const int16_t*)buf.data();
+            for (size_t i = 0; i < n; i++) {
+                float acc = 0.f;
+                for (int c = 0; c < channels; c++)
+                    acc += (float)pcm[i * channels + c];
+                mono.push_back(acc / channels / 32768.0f);
+            }
+            if (r == MPG123_DONE_) break;
+            if (r != MPG123_OK_ && r != MPG123_NEW_FORMAT_) {
+                rc = mono.empty() ? -3 : 0;  // truncated tail is tolerated
+                break;
+            }
+        }
+        *sr = (int)rate;
+        if (mono.empty()) rc = -3;
+    }
+    api.close(h);
+    api.delete_(h);
+    return rc;
+}
+
+// --------------------------------------------------- Ogg/Vorbis (vorbisfile)
+
+struct VorbisApi {
+    int (*fopen)(const char*, void*) = nullptr;
+    void* (*info)(void*, int) = nullptr;
+    long (*read_float)(void*, float***, int, int*) = nullptr;
+    int (*clear)(void*) = nullptr;
+    bool ok = false;
+};
+
+const VorbisApi& vorbis_api() {
+    static VorbisApi api;
+    static bool tried = false;
+    if (tried) return api;
+    tried = true;
+    void* dl = dlopen("libvorbisfile.so.3", RTLD_NOW | RTLD_GLOBAL);
+    if (!dl) return api;
+    api.fopen = (int (*)(const char*, void*))dlsym(dl, "ov_fopen");
+    api.info = (void* (*)(void*, int))dlsym(dl, "ov_info");
+    api.read_float =
+        (long (*)(void*, float***, int, int*))dlsym(dl, "ov_read_float");
+    api.clear = (int (*)(void*))dlsym(dl, "ov_clear");
+    api.ok = api.fopen && api.info && api.read_float && api.clear;
+    return api;
+}
+
+// leading fields of vorbis_info (stable ABI: codec.h)
+struct VorbisInfoPrefix {
+    int version;
+    int channels;
+    long rate;
+};
+
+int decode_ogg(const char* path, std::vector<float>& mono, int* sr) {
+    const VorbisApi& api = vorbis_api();
+    if (!api.ok) return -8;
+    // OggVorbis_File is ~944 bytes on x86-64; over-allocate for safety
+    // since we only ever hand the pointer back to the library
+    std::vector<unsigned char> vf(16384, 0);
+    if (api.fopen(path, vf.data()) != 0) return -2;
+    const VorbisInfoPrefix* vi =
+        (const VorbisInfoPrefix*)api.info(vf.data(), -1);
+    if (!vi || vi->channels <= 0 || vi->rate <= 0) {
+        api.clear(vf.data());
+        return -2;
+    }
+    int channels = vi->channels;
+    *sr = (int)vi->rate;
+    int bitstream = 0;
+    for (;;) {
+        float** pcm = nullptr;
+        long n = api.read_float(vf.data(), &pcm, 4096, &bitstream);
+        if (n == 0) break;      // EOF
+        if (n < 0) continue;    // hole in stream: skip, keep decoding
+        for (long i = 0; i < n; i++) {
+            float acc = 0.f;
+            for (int c = 0; c < channels; c++) acc += pcm[c][i];
+            mono.push_back(acc / channels);
+        }
+    }
+    api.clear(vf.data());
+    return mono.empty() ? -3 : 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -417,8 +578,19 @@ int audio_load(const char* path, float** out_samples, int64_t* out_len,
     int rc;
     // never let bad_alloc/length_error from corrupt input escape the C ABI
     try {
-        if (file.data.size() >= 4 && memcmp(file.data.data(), "fLaC", 4) == 0)
+        const uint8_t* d = file.data.data();
+        size_t n = file.data.size();
+        bool is_ogg = n >= 4 && memcmp(d, "OggS", 4) == 0;
+        bool is_mp3 =
+            (n >= 3 && memcmp(d, "ID3", 3) == 0) ||
+            (n >= 2 && d[0] == 0xFF && (d[1] & 0xE0) == 0xE0 &&
+             (d[1] & 0x18) != 0x08);  // MPEG sync, valid version bits
+        if (n >= 4 && memcmp(d, "fLaC", 4) == 0)
             rc = decode_flac(file, mono, &sr);
+        else if (is_ogg)
+            rc = decode_ogg(path, mono, &sr);
+        else if (is_mp3)
+            rc = decode_mp3(path, mono, &sr);
         else
             rc = decode_wav(file, mono, &sr);
     } catch (...) {

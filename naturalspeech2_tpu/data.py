@@ -21,7 +21,10 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-AUDIO_EXTS = (".wav", ".flac")
+# mp3/ogg decode through the native library's dlopen'd system codecs
+# (libmpg123/libvorbisfile) — the torchaudio container coverage of the
+# reference's SoundDataset (audiolm_pytorch import, ref :24)
+AUDIO_EXTS = (".wav", ".flac", ".mp3", ".ogg")
 
 
 def _load_wav_python(path: str):
