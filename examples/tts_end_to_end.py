@@ -38,16 +38,18 @@ from naturalspeech2_tpu.trainer import Trainer, write_wav
 from synthetic_tts_data import VOCAB, prefetched, tts_batches  # noqa: E402
 
 
-def build_ns2() -> NaturalSpeech2:
+def build_ns2(tiny: bool = False) -> NaturalSpeech2:
     codec = SoundStream(use_pallas_rvq=jax.default_backend() == "tpu")
+    on_tpu = jax.default_backend() == "tpu"
     model = Model(
-        dim=128, depth=6, heads=8, dim_head=64,
-        dim_prompt=128, num_latents_m=16, resampler_depth=2,
+        dim=128, depth=1 if tiny else 6, heads=8, dim_head=64,
+        dim_prompt=128, num_latents_m=16, resampler_depth=1 if tiny else 2,
         condition_on_prompt=True, cond_drop_prob=0.25,
-        use_flash_attn=jax.default_backend() == "tpu",
-        use_fused_wavenet=jax.default_backend() == "tpu",
-        scan_layers=True,
+        use_flash_attn=on_tpu, use_fused_wavenet=on_tpu,
+        wavenet_layers=2 if tiny else 8, wavenet_stacks=1 if tiny else 4,
+        scan_layers=not tiny,
     )
+    d = 1 if tiny else None
     # conditioning stack at dim 128 (reference uses 512; the synthetic
     # 26-token language needs far less capacity and trains ~10× faster)
     return NaturalSpeech2(
@@ -58,10 +60,10 @@ def build_ns2() -> NaturalSpeech2:
         duration_pitch_dim=128,
         aligner_dim_hidden=128,
         pitch_emb_pp_hidden_dim=128,
-        phoneme_enc_kwargs=dict(dim=128, dim_hidden=128, depth=2, heads=4),
-        prompt_enc_kwargs=dict(dims=(256, 128), depth=2, heads=4),
+        phoneme_enc_kwargs=dict(dim=128, dim_hidden=128, depth=d or 2, heads=4),
+        prompt_enc_kwargs=dict(dims=(256, 128), depth=d or 2, heads=4),
         duration_pitch_kwargs=dict(
-            dim_encoded_prompts=128, dim_hidden=128, depth=3, heads=4,
+            dim_encoded_prompts=128, dim_hidden=128, depth=d or 3, heads=4,
         ),
     )
 
@@ -78,9 +80,13 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--results", default="results_tts_e2e")
     ap.add_argument("--sample-every", type=int, default=2000)
+    ap.add_argument("--timesteps", type=int, default=100,
+                    help="sampling steps for the final artifact")
+    ap.add_argument("--tiny", action="store_true",
+                    help="plumbing smoke-test scale (CPU-friendly)")
     args = ap.parse_args()
 
-    ns2 = build_ns2()
+    ns2 = build_ns2(tiny=args.tiny)
     trainer = Trainer(
         ns2,
         batches=prefetched(tts_batches(seed=0, batch=args.batch)),
@@ -103,7 +109,9 @@ def main():
     params = dict(trainer.state.params)
     params["codec"] = jax.tree_util.tree_map(jnp.asarray, codec_params)
     ema = dict(trainer.state.ema_params)
-    ema["codec"] = params["codec"]
+    # distinct buffers: params and ema_params live in ONE donated train
+    # state — aliasing them trips "donate the same buffer twice"
+    ema["codec"] = jax.tree_util.tree_map(jnp.copy, params["codec"])
     trainer.state = trainer.state.replace(params=params, ema_params=ema)
     trainer.state = trainer._shard_state(trainer.state)
     print(f"codec grafted from {args.codec}", flush=True)
@@ -124,7 +132,7 @@ def main():
         text=jnp.asarray(test["text"]),
         text_lens=jnp.asarray(test["text_lens"]),
         cond_scale=2.0,
-        timesteps=100,
+        timesteps=args.timesteps,
     )
     audio_dir = Path(__file__).resolve().parents[1] / "docs" / "audio"
     audio_dir.mkdir(parents=True, exist_ok=True)

@@ -56,7 +56,12 @@ def stft(
     center: bool = True,
 ) -> jax.Array:
     """Complex STFT ``[b, n_fft//2+1, frames]`` with a hann window,
-    centered with reflect padding (torchaudio `Spectrogram` defaults)."""
+    centered with reflect padding (torchaudio `Spectrogram` defaults).
+
+    Always computes in f32: the signal frontend is a feature extractor, so
+    bf16 training (amp) must not degrade it — and RFFT rejects bf16 anyway.
+    """
+    audio = audio.astype(jnp.float32)
     if center:
         pad = n_fft // 2
         audio = jnp.pad(audio, ((0, 0), (pad, pad)), mode="reflect")

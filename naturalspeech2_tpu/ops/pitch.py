@@ -38,6 +38,7 @@ def compute_pitch(
     frames = T // hop + 1 (centered), matching the mel frontend so pitch and
     mel line up per frame like the reference pipeline (:1547-1566).
     """
+    audio = audio.astype(jnp.float32)  # frontends stay f32 under bf16 amp
     b, t = audio.shape
     max_lag = int(np.ceil(sample_rate / f0_floor))
     min_lag = max(2, int(np.floor(sample_rate / f0_ceil)))
@@ -126,6 +127,7 @@ def compute_pitch_nccf(
 
     audio ``[b, T]`` → f0 ``[b, T//hop + 1]`` in Hz (0 = unvoiced).
     """
+    audio = audio.astype(jnp.float32)  # frontends stay f32 under bf16 amp
     b, t = audio.shape
     max_lag = int(np.ceil(sample_rate / f0_floor))
     min_lag = max(2, int(np.floor(sample_rate / f0_ceil)))
