@@ -78,12 +78,11 @@ def conditionable_transformer(p, dst, prefix, depth, cross_attn=True,
     with n_norms = depth · (3 if cross_attn else 2), laid out
     [attn, cross, ff] per layer.
     """
+    # torch slot indices are FIXED (None placeholders fill the cross slots
+    # when cross_attn=False); only the flax ada-norm stacking order varies
     n_per = (3 if cross_attn else 2) if cond else 0
     for i in range(depth):
-        if cross_attn:
-            slots = {"attn": 0, "cross": 2, "ff": 4, "ffmod": 5}
-        else:
-            slots = {"attn": 0, "ff": 2, "ffmod": 3}
+        slots = {"attn": 0, "cross": 2, "ff": 4, "ffmod": 5}
         if cond:
             ada_w = np.asarray(p["ada_norm_w"])
             ada_b = np.asarray(p["ada_norm_b"])
@@ -121,6 +120,72 @@ def perceiver_resampler(p, dst, prefix, depth):
         attention(p[f"attn_{i}"], dst, f"{prefix}layers.{i}.0")
         feed_forward(p[f"ff_{i}"], dst, f"{prefix}layers.{i}.1",
                      causal_conv=False)
+
+
+def plain_transformer(p, dst, prefix, depth):
+    """Reference Transformer (:1073-1115): layers.{i} = (RMSNorm, Attention,
+    RMSNorm, FeedForward-no-conv)."""
+    for i in range(depth):
+        dst[f"{prefix}layers.{i}.0.gamma"] = t(p[f"attn_norm_{i}"]["gamma"])
+        attention(p[f"attn_{i}"], dst, f"{prefix}layers.{i}.1")
+        dst[f"{prefix}layers.{i}.2.gamma"] = t(p[f"ff_norm_{i}"]["gamma"])
+        feed_forward(p[f"ff_{i}"], dst, f"{prefix}layers.{i}.3",
+                     causal_conv=False)
+
+
+def phoneme_encoder(p, dst, prefix, depth):
+    """Reference PhonemeEncoder (:228-287)."""
+    dst[f"{prefix}token_emb.weight"] = t(p["token_emb"]["embedding"])
+    conv(p["conv"]["Conv_0"], dst, f"{prefix}conv.1")
+    plain_transformer(p["transformer"], dst, f"{prefix}transformer.", depth)
+
+
+def speech_prompt_encoder(p, dst, prefix, depth, n_convs):
+    """Reference SpeechPromptEncoder (:289-341): Sequential conv walk has
+    the Conv1d modules at odd indices 1, 3, 5, …"""
+    for i in range(n_convs):
+        conv(p[f"conv_{i}"], dst, f"{prefix}conv.{2 * i + 1}")
+    plain_transformer(p["transformer"], dst, f"{prefix}transformer.", depth)
+
+
+def duration_pitch_trunk(p, dst, prefix, depth, convs_per_block=2,
+                         convs_per_resnet=2):
+    """Reference DurationPitchPredictorTrunk (:412-466): layers.{i} =
+    (Sequential of ResnetBlocks, RMSNorm, Attention); each ResnetBlock has
+    `blocks.{u}` ConvUnits (proj Conv1d + GroupNorm `norm`)."""
+    for i in range(depth):
+        for j in range(convs_per_block):
+            cb = p[f"conv_{i}_{j}"]
+            for u in range(convs_per_resnet):
+                unit = cb[f"ConvUnit_{u}"]
+                base = f"{prefix}layers.{i}.0.{j}.blocks.{u}"
+                conv(unit["Conv_0"], dst, f"{base}.proj")
+                dst[f"{base}.norm.weight"] = t(unit["GroupNorm_0"]["scale"])
+                dst[f"{base}.norm.bias"] = t(unit["GroupNorm_0"]["bias"])
+        dst[f"{prefix}layers.{i}.1.gamma"] = t(p[f"norm_{i}"]["gamma"])
+        attention(p[f"attn_{i}"], dst, f"{prefix}layers.{i}.2")
+    lin(p["to_pred"], dst, f"{prefix}to_pred.0")
+
+
+def duration_pitch_predictor(p, dst, prefix, depth, convs_per_block=2,
+                             convs_per_resnet=2):
+    """Reference DurationPitchPredictor (:468-527): two trunks."""
+    duration_pitch_trunk(p["to_duration_pred"], dst,
+                         f"{prefix}to_duration_pred.", depth,
+                         convs_per_block, convs_per_resnet)
+    duration_pitch_trunk(p["to_pitch_pred"], dst,
+                         f"{prefix}to_pitch_pred.", depth,
+                         convs_per_block, convs_per_resnet)
+
+
+def aligner_net(p, dst, prefix=""):
+    """Reference AlignerNet (aligner.py:17-81): key_layers Conv1ds at
+    indices 0, 2; query_layers at 0, 2, 4 (ReLUs between)."""
+    conv(p["key_conv1"], dst, f"{prefix}key_layers.0")
+    conv(p["key_conv2"], dst, f"{prefix}key_layers.2")
+    conv(p["query_conv1"], dst, f"{prefix}query_layers.0")
+    conv(p["query_conv2"], dst, f"{prefix}query_layers.2")
+    conv(p["query_conv3"], dst, f"{prefix}query_layers.4")
 
 
 def model(variables, cfg):
