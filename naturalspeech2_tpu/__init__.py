@@ -32,6 +32,7 @@ from naturalspeech2_tpu.models.encoders import (
 )
 from naturalspeech2_tpu.models.aligner import Aligner, BinLoss, ForwardSumLoss
 from naturalspeech2_tpu.models.codec import SoundStream
+from naturalspeech2_tpu.models.encodec import Encodec
 from naturalspeech2_tpu.trainer import Trainer
 from naturalspeech2_tpu.codec_trainer import CodecTrainer
 from naturalspeech2_tpu.distill import ProgressiveDistiller
@@ -39,5 +40,8 @@ from naturalspeech2_tpu.utils.tokenizer import Tokenizer
 from naturalspeech2_tpu.utils.phonemizers.espeak_wrapper import ESpeak
 
 # EncodecWrapper parity: the reference re-exports an external pretrained
-# Encodec; here the JAX SoundStream implements the same call contract.
-EncodecWrapper = SoundStream
+# Encodec (`__init__.py:21-24`). `Encodec` is the faithful JAX port of that
+# architecture (load facebook/encodec_24khz weights via
+# `utils.torch_import.encodec_params_from_hf`); `SoundStream` is the
+# from-scratch-trainable codec with the same call contract.
+EncodecWrapper = Encodec

@@ -80,6 +80,13 @@ class NaturalSpeech2(nn.Module):
     pitch_loss_weight: float = 1.0
     aligner_loss_weight: float = 1.0
     aligner_bin_loss_weight: float = 0.0
+    # The reference encodes text WITHOUT a padding mask in the training
+    # forward (text_mask is built at :1535 but only the aligner sees it;
+    # :1539 calls `self.phoneme_enc(text)`), so padded positions attend
+    # into the real ones. Default False reproduces that exactly — required
+    # for imported reference checkpoints (utils/torch_import.py) to give
+    # reference outputs. True opts into masked self-attention.
+    mask_phoneme_encoder: bool = False
     # size overrides for the conditional submodules (test-scale / ablations);
     # defaults reproduce the reference's hardcoded 512-dim stacks
     phoneme_enc_kwargs: Optional[dict] = None
@@ -308,7 +315,13 @@ class NaturalSpeech2(nn.Module):
 
         loss = ((pred - target) ** 2).mean(axis=(1, 2))  # per-sample
 
-        # min-SNR weighting (ref :1651-1666)
+        # min-SNR weighting (ref :1651-1666). Documented divergence: the
+        # reference multiplies its [b]-shaped reduced loss by a
+        # [b,1,1]-shaped weight, broadcasting an outer product whose mean
+        # is mean(mse)·mean(weight) — sample i's weight decouples from
+        # sample i's loss whenever batch > 1. We weight per-sample (the
+        # min-SNR paper's formula); tests/test_golden_full_forward.py
+        # characterises the reference's actual value.
         snr = (alpha * alpha) / (sigma * sigma)
         snr = snr[:, 0, 0]
         clipped_snr = (
@@ -361,7 +374,9 @@ class NaturalSpeech2(nn.Module):
         prompt_latents = self.process_prompt(prompt)
         prompt_enc = self.prompt_enc(prompt_latents, deterministic=deterministic)
         phoneme_enc = self.phoneme_enc(
-            text, mask=text_mask, deterministic=deterministic
+            text,
+            mask=text_mask if self.mask_phoneme_encoder else None,
+            deterministic=deterministic,
         )
 
         if pitch is None:

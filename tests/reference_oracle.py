@@ -727,8 +727,11 @@ def ns2_conditional_losses(params, cfgs, audio, text, text_lens, mel,
     text_mask = create_mask(text_lens, text.shape[-1])
 
     prompt_enc = speech_prompt_encoder(p["prompt_enc"], cfgs["prompt_enc"], prompt)
-    phon_enc = phoneme_encoder(p["phoneme_enc"], cfgs["phoneme_enc"], text,
-                               mask=text_mask)
+    # the reference encodes text WITHOUT the padding mask (:1539 —
+    # text_mask is built at :1535 but only the aligner consumes it), so
+    # padded positions attend into real ones; verified against the actual
+    # torch reference in tests/test_golden_full_forward.py
+    phon_enc = phoneme_encoder(p["phoneme_enc"], cfgs["phoneme_enc"], text)
 
     mel = np.asarray(mel, np.float64)[..., : np.asarray(pitch).shape[-1]]
     pitch = np.asarray(pitch, np.float64)[..., : mel.shape[-1]]
@@ -779,6 +782,13 @@ def ns2_conditional_losses(params, cfgs, audio, text, text_lens, mel,
     snr = (alpha * alpha) / (sigma * sigma)
     snr = snr[:, 0, 0]
     loss_weight = np.minimum(snr, w["min_snr_gamma"]) / (snr + 1)
+    # intended per-sample weighting. The reference as written broadcasts
+    # the [b]-shaped reduced loss against the [b,1,1]-shaped weight
+    # (:1666), an outer product whose mean degenerates to
+    # mean(mse)·mean(weight) — each sample's weight decouples from its
+    # loss for batch > 1. Characterised by the golden torch test
+    # (test_golden_full_forward.py); the repo implements the paper's
+    # per-sample form.
     diffusion_loss = (loss * loss_weight).mean()
 
     losses = {

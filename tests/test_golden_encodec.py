@@ -1,0 +1,189 @@
+"""GOLDEN parity: JAX Encodec vs `transformers.EncodecModel`.
+
+The ACTUAL HF torch Encodec (the architecture behind
+`facebook/encodec_24khz`, which the reference consumes pretrained via
+`audiolm_pytorch.EncodecWrapper`, ref naturalspeech2_pytorch.py:23) runs
+with randomly-initialised weights; `encodec_params_from_hf` imports its
+state_dict and the flax port must reproduce encoder latents, RVQ codes,
+and decoder waveforms. No pretrained weights ship in this zero-egress
+image — weight-level parity here means a user CAN drop the real
+checkpoint in and get the reference's pretrained-codec path.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp  # noqa: E402
+
+from naturalspeech2_tpu.models.encodec import Encodec  # noqa: E402
+from naturalspeech2_tpu.utils import torch_import as ti  # noqa: E402
+
+
+def _make_pair(seed, **cfg_overrides):
+    """(torch EncodecModel, flax Encodec, flax params) with shared weights."""
+    from transformers import EncodecConfig, EncodecModel
+
+    cfg = dict(
+        target_bandwidths=[0.75, 1.5],
+        sampling_rate=1600,
+        num_filters=4,
+        upsampling_ratios=[4, 2],
+        hidden_size=16,
+        codebook_size=32,
+        codebook_dim=16,
+        num_lstm_layers=2,
+        kernel_size=7,
+        last_kernel_size=7,
+        residual_kernel_size=3,
+        num_residual_layers=1,
+        use_causal_conv=True,
+        pad_mode="reflect",
+        compress=2,
+        use_conv_shortcut=True,
+    )
+    cfg.update(cfg_overrides)
+    torch.manual_seed(seed)
+    ref = EncodecModel(EncodecConfig(**cfg)).eval()
+    # HF zero-initialises the codebooks (they come from the checkpoint);
+    # randomise so RVQ parity is a real test
+    with torch.no_grad():
+        for layer in ref.quantizer.layers:
+            layer.codebook.embed.normal_()
+
+    nq = ref.quantizer.get_num_quantizers_for_bandwidth(
+        cfg["target_bandwidths"][-1]
+    )
+    params = ti.encodec_params_from_hf(
+        ref.state_dict(),
+        num_quantizers=nq,
+        upsampling_ratios=cfg["upsampling_ratios"],
+        num_residual_layers=cfg["num_residual_layers"],
+    )
+    mine = Encodec(
+        codebook_dim=cfg["hidden_size"],
+        num_filters=cfg["num_filters"],
+        upsampling_ratios=tuple(cfg["upsampling_ratios"]),
+        num_residual_layers=cfg["num_residual_layers"],
+        num_quantizers=nq,
+        codebook_size=cfg["codebook_size"],
+        kernel_size=cfg["kernel_size"],
+        last_kernel_size=cfg["last_kernel_size"],
+        residual_kernel_size=cfg["residual_kernel_size"],
+        num_lstm_layers=cfg["num_lstm_layers"],
+        use_pallas_rvq=False,
+    )
+    return ref, mine, {"params": params}, cfg
+
+
+def test_golden_encoder_latents():
+    ref, mine, variables, cfg = _make_pair(0)
+    rng = np.random.RandomState(1)
+    wav = rng.randn(2, 93).astype(np.float32) * 0.3
+    latents = mine.apply(variables, jnp.asarray(wav), method=mine.encode_latents)
+    with torch.no_grad():
+        got = ref.encoder(torch.from_numpy(wav)[:, None, :])
+    got = got.numpy().transpose(0, 2, 1)
+    assert np.asarray(latents).shape == got.shape
+    assert np.max(np.abs(np.asarray(latents) - got)) < 1e-4
+
+
+def test_golden_rvq_codes_and_dequantize():
+    ref, mine, variables, cfg = _make_pair(2)
+    rng = np.random.RandomState(3)
+    emb = rng.randn(2, 11, cfg["hidden_size"]).astype(np.float32)
+    _, codes = mine.apply(variables, jnp.asarray(emb), method=mine.quantize)
+    bw = cfg["target_bandwidths"][-1]
+    with torch.no_grad():
+        ref_codes = ref.quantizer.encode(
+            torch.from_numpy(emb.transpose(0, 2, 1)), bandwidth=bw
+        )  # [Q, b, n]
+    ref_codes = ref_codes.numpy().transpose(1, 2, 0)
+    np.testing.assert_array_equal(np.asarray(codes), ref_codes)
+
+    deq = mine.apply(variables, jnp.asarray(codes), method=mine.dequantize)
+    with torch.no_grad():
+        ref_deq = ref.quantizer.decode(
+            torch.from_numpy(ref_codes.transpose(2, 0, 1))
+        )
+    ref_deq = ref_deq.numpy().transpose(0, 2, 1)
+    assert np.max(np.abs(np.asarray(deq) - ref_deq)) < 1e-5
+
+
+def test_golden_decoder():
+    ref, mine, variables, cfg = _make_pair(4)
+    rng = np.random.RandomState(5)
+    latents = rng.randn(2, 9, cfg["hidden_size"]).astype(np.float32)
+    wav = mine.apply(variables, jnp.asarray(latents), method=mine.decode)
+    with torch.no_grad():
+        got = ref.decoder(torch.from_numpy(latents.transpose(0, 2, 1)))
+    got = got.numpy()[:, 0, :]
+    assert np.asarray(wav).shape == got.shape
+    assert np.max(np.abs(np.asarray(wav) - got)) < 1e-4
+
+
+def test_golden_end_to_end_contract():
+    """Full reference-contract call: encode → codes match the HF
+    encode(); decode(quantize=True) matches HF's decode of those codes."""
+    ref, mine, variables, cfg = _make_pair(6)
+    hop = int(np.prod(cfg["upsampling_ratios"]))
+    rng = np.random.RandomState(7)
+    wav = rng.randn(2, hop * 12 + 3).astype(np.float32) * 0.2
+
+    latents, codes, _ = mine.apply(
+        variables, jnp.asarray(wav), return_encoded=True
+    )
+    assert latents.shape == (2, 12, cfg["hidden_size"])
+
+    t_use = (wav.shape[-1] // hop) * hop
+    bw = cfg["target_bandwidths"][-1]
+    with torch.no_grad():
+        enc = ref.encode(
+            torch.from_numpy(wav[:, : t_use])[:, None, :], bandwidth=bw,
+            return_dict=True,
+        )
+        ref_codes = enc.audio_codes[0].numpy().transpose(0, 2, 1)[:, :, : codes.shape[-1]]
+    np.testing.assert_array_equal(np.asarray(codes), ref_codes)
+
+    decoded = mine.apply(
+        variables, latents, True, method=mine.decode
+    )  # quantize=True: snap through RVQ then decode
+    with torch.no_grad():
+        ref_audio = ref.decode(
+            enc.audio_codes, enc.audio_scales, return_dict=True
+        ).audio_values.numpy()[:, 0, :]
+    assert np.max(np.abs(np.asarray(decoded) - ref_audio)) < 1e-4
+
+
+def test_golden_full_24khz_architecture():
+    """The REAL facebook/encodec_24khz architecture (default EncodecConfig:
+    num_filters 32, ratios 8/5/4/2, hidden 128, 1024×128 codebooks, 2-layer
+    LSTM) — random weights, one forward each way. Proves the actual
+    checkpoint's shapes import and agree."""
+    from transformers import EncodecConfig, EncodecModel
+
+    torch.manual_seed(8)
+    ref = EncodecModel(EncodecConfig()).eval()
+    with torch.no_grad():
+        for layer in ref.quantizer.layers:
+            layer.codebook.embed.normal_()
+    params = ti.encodec_params_from_hf(ref.state_dict(), num_quantizers=8)
+    mine = Encodec(use_pallas_rvq=False)
+
+    rng = np.random.RandomState(9)
+    wav = rng.randn(1, 3200).astype(np.float32) * 0.2
+    latents, codes, _ = mine.apply(
+        {"params": params}, jnp.asarray(wav), return_encoded=True
+    )
+    assert latents.shape == (1, 10, 128)
+    assert codes.shape == (1, 10, 8)
+    with torch.no_grad():
+        got = ref.encoder(torch.from_numpy(wav)[:, None, :])
+        ref_codes = ref.quantizer.encode(got, bandwidth=6.0)
+    got = got.numpy().transpose(0, 2, 1)
+    assert np.max(np.abs(np.asarray(latents) - got)) < 1e-3
+    np.testing.assert_array_equal(
+        np.asarray(codes), ref_codes.numpy().transpose(1, 2, 0)
+    )
