@@ -486,8 +486,11 @@ class NaturalSpeech2(nn.Module):
 
         if max_frames is None:
             max_frames = text.shape[-1] * 2
+        # truncate, not round: the reference's generate_mask_from_repeats
+        # casts float duration predictions with `repeats.int()` (:88), and
+        # imported reference checkpoints must reproduce its frame layout
         aln_mask = generate_mask_from_repeats(
-            jnp.round(duration).astype(jnp.int32), max_frames
+            duration.astype(jnp.int32), max_frames
         ).astype(phoneme_enc.dtype)
 
         cond = self.expand_encodings(phoneme_enc, aln_mask, pitch)

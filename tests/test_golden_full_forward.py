@@ -273,3 +273,46 @@ def test_golden_full_conditional_forward(pair, monkeypatch):
     ref_cond = captured["cond"].detach().numpy().transpose(0, 2, 1)
     assert np.max(np.abs(np.asarray(prompt_enc) - ref_prompt)) < 1e-3
     assert np.max(np.abs(np.asarray(cond) - ref_cond)) < 1e-3
+
+
+def test_golden_conditional_sample_end_to_end(pair, monkeypatch):
+    """The COMPLETE conditional inference path with shared weights: the
+    reference `sample()` (:1457-1501 — prompt/phoneme encoding, predicted
+    durations → `generate_mask_from_repeats`, expand_encodings, CFG DDIM
+    loop) vs the repo's `sample` free function, identical initial noise.
+    codec=None on both sides → the compared output IS the latent tensor."""
+    from naturalspeech2_tpu.models.naturalspeech2 import sample as repo_sample
+
+    ns2, variables, ref_ns2, data, _, _ = pair
+
+    b, t_x = data["text"].shape
+    prompt_latents = np.asarray(data["prompt"], np.float32)
+    text = np.asarray(data["text"])
+    length = 24
+    steps = 8
+
+    key = jax.random.PRNGKey(21)
+    mine = repo_sample(
+        ns2, variables, key, length=length,
+        prompt=jnp.asarray(prompt_latents), text=jnp.asarray(text),
+        cond_scale=2.0, timesteps=steps,
+    )
+
+    # identical initial noise: the repo sampler draws
+    # jax.random.normal(key, shape) (tests/test_golden_sampling.py pins this)
+    audio0 = jax.random.normal(key, (b, length, 32))
+    monkeypatch.setattr(
+        torch, "randn", lambda *a, **kw: torch.from_numpy(np.asarray(audio0))
+    )
+    ref_ns2.timesteps = steps
+    with torch.no_grad():
+        got = ref_ns2.sample(
+            length=length,
+            prompt=torch.from_numpy(prompt_latents),
+            text=torch.from_numpy(text),
+            cond_scale=2.0,
+        )
+
+    mse = np.mean((np.asarray(mine, np.float64) - got.numpy()) ** 2)
+    diff = np.max(np.abs(np.asarray(mine, np.float64) - got.numpy()))
+    assert mse < 1e-6, (mse, diff)
