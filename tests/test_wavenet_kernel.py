@@ -48,6 +48,31 @@ def test_kernel_grads_match_xla():
     np.testing.assert_allclose(np.asarray(gk), np.asarray(gx), atol=1e-3)
 
 
+@pytest.mark.slow
+def test_bf16_gradient_error_bound():
+    """Documented bf16 backward bound (advisor r2): the custom_vjp twin
+    recomputes the residual chain at the input dtype, so bf16 training
+    gradients carry bf16-recompute error relative to a full-f32 chain
+    even where the fused forward accumulated in f32. Pin the bound so a
+    regression (e.g. an accidental double-rounding) is caught."""
+    w = _weights()
+    x = jax.random.normal(jax.random.PRNGKey(11), (B, N, D))
+    g32 = jax.grad(lambda x: (wavenet_body_xla(x, *w.values()) ** 2).sum())(x)
+
+    w16 = [a.astype(jnp.bfloat16) for a in w.values()]
+
+    def loss16(x):
+        out = fused_wavenet_body(x.astype(jnp.bfloat16), *w16)
+        return (out.astype(jnp.float32) ** 2).sum()
+
+    g16 = jax.grad(loss16)(x)
+    rel = float(
+        jnp.linalg.norm(g16 - g32) / jnp.maximum(jnp.linalg.norm(g32), 1e-9)
+    )
+    # measured 4.3e-3 on this config; 3e-2 leaves headroom for rng drift
+    assert rel < 3e-2, rel
+
+
 def test_fused_module_equivalent_to_reference_module():
     """FusedWavenet with weights copied from a reference-structured Wavenet
     must produce identical outputs (same math, different parameter layout)."""
