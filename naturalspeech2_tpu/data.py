@@ -74,6 +74,18 @@ def load_audio(path: str):
     )
 
 
+def decode_audio_bytes(raw: bytes, suffix: str = ".wav"):
+    """In-memory audio blob (e.g. an HTTP upload) → (float32 mono, sr).
+    Routes through `load_audio` so the native mp3/ogg/flac decoders apply
+    when built; ``suffix`` hints the container for the fallback path."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=suffix) as f:
+        f.write(raw)
+        f.flush()
+        return load_audio(f.name)
+
+
 def resample(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
     if sr == target_sr:
         return audio

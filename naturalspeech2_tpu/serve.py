@@ -1,0 +1,311 @@
+"""Production TTS serving: compiled-bucket inference + a stdlib HTTP server.
+
+The reference stops at a Python `sample()` call; serving it for real on
+TPU needs three things it does not provide, all handled here:
+
+1. **Static-shape buckets.** XLA compiles one program per input shape, so
+   free-form text/length requests would retrace constantly. `TTSEngine`
+   pads text ids and latent lengths up to a fixed bucket grid and
+   precompiles each bucket once at startup (`warmup()`); runtime requests
+   then always hit the jit cache.
+2. **Serialized device access.** One engine owns the chip; a lock
+   serializes sampling while the (host-side) text frontend runs
+   concurrently in request threads.
+3. **A transport.** `TTSServer` is a dependency-free `http.server`
+   endpoint: `POST /tts {"text": "...", "seconds": 2.0, "prompt": "<path
+   or base64 wav>"}` → `audio/wav` bytes; `GET /healthz` → build/bucket
+   info. Run: `python -m naturalspeech2_tpu.serve --demo` (tiny random
+   model) or construct `TTSServer(engine)` around a trained one.
+
+TPU notes: buckets keep every program static-shape (SURVEY §7 design
+stance); the engine samples through the same jitted `sample` path the
+benchmarks measure, so serving throughput tracks `bench.py` numbers.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["TTSEngine", "TTSServer"]
+
+
+def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
+    """float waveform [-1, 1] → 16-bit PCM WAV bytes (stdlib only)."""
+    import struct
+    import wave
+
+    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(struct.pack(f"<{pcm.size}h", *pcm.tolist()))
+    return buf.getvalue()
+
+
+@dataclass
+class TTSEngine:
+    """Bucketed, precompiled inference around `NaturalSpeech2`.
+
+    ``text_buckets`` are token-length ceilings, ``frame_buckets`` latent
+    frame counts; every (text_bucket, frame_bucket) pair is one compiled
+    program. ``prompt_samples`` fixes the conditioning prompt crop.
+    """
+
+    ns2: object
+    variables: dict
+    text_buckets: Sequence[int] = (32, 64, 128)
+    frame_buckets: Sequence[int] = (256, 512, 1024)
+    prompt_samples: int = 32768
+    cond_scale: float = 2.5
+    timesteps: Optional[int] = 100
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+
+    def __post_init__(self):
+        from naturalspeech2_tpu.models.naturalspeech2 import sample as _sample
+
+        self._sample = _sample
+        self._jitted = {}
+        self._hop = (
+            self.ns2.codec.seq_len_multiple_of
+            if self.ns2.codec is not None
+            else 320
+        )
+        self._sr = self.ns2.sample_hz
+        if not self.ns2.conditional:
+            raise ValueError("TTSEngine serves conditional (text+prompt) models")
+        if self.ns2.tokenizer is None:
+            raise ValueError("NaturalSpeech2 needs tokenizer= for raw text")
+
+    # ------------------------------------------------------------------ #
+
+    def _bucket(self, value: int, buckets: Sequence[int], what: str) -> int:
+        for b in sorted(buckets):
+            if value <= b:
+                return b
+        raise ValueError(
+            f"{what}={value} exceeds the largest serving bucket "
+            f"{max(buckets)}; raise {what}_buckets"
+        )
+
+    def _fn_for(self, t_bucket: int, f_bucket: int):
+        key = (t_bucket, f_bucket)
+        if key not in self._jitted:
+            ns2, cond_scale, timesteps = self.ns2, self.cond_scale, self.timesteps
+
+            def run(variables, prompt, text, text_lens, rng):
+                return self._sample(
+                    ns2, variables, rng, length=f_bucket, prompt=prompt,
+                    text=text, text_lens=text_lens, cond_scale=cond_scale,
+                    timesteps=timesteps,
+                )
+
+            self._jitted[key] = jax.jit(run)
+        return self._jitted[key]
+
+    def warmup(self, buckets: Optional[Sequence[Tuple[int, int]]] = None):
+        """Compile serving buckets ahead of traffic (all pairs by default)."""
+        pairs = buckets or [
+            (t, f) for t in self.text_buckets for f in self.frame_buckets
+        ]
+        prompt = jnp.zeros((1, self.prompt_samples), jnp.float32)
+        for t_bucket, f_bucket in pairs:
+            fn = self._fn_for(t_bucket, f_bucket)
+            ids = jnp.zeros((1, t_bucket), jnp.int32)
+            lens = jnp.ones((1,), jnp.int32)
+            jax.block_until_ready(
+                fn(self.variables, prompt, ids, lens, jax.random.PRNGKey(0))
+            )
+        return sorted(self._jitted)
+
+    # ------------------------------------------------------------------ #
+
+    def tts(
+        self,
+        text: str,
+        prompt_audio: np.ndarray,
+        seconds: Optional[float] = None,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, int]:
+        """text + prompt waveform → (waveform float32 [-1,1], sample_rate).
+
+        Host-side frontend (cleaning, phonemization, tokenization) runs
+        outside the lock; only device sampling serializes.
+        """
+        ids = np.asarray(self.ns2.tokenizer.texts_to_tensor_ids([text]))
+        n_tokens = ids.shape[1]
+        t_bucket = self._bucket(n_tokens, self.text_buckets, "text tokens")
+        pad = np.full((1, t_bucket - n_tokens), self.ns2.tokenizer.pad_id,
+                      dtype=ids.dtype)
+        ids = np.concatenate([ids, pad], axis=1)
+
+        if seconds is None:
+            # ~2 frames per phoneme heuristic when no duration requested
+            frames = min(max(n_tokens * 2, min(self.frame_buckets)),
+                         max(self.frame_buckets))
+        else:
+            frames = int(round(seconds * self._sr / self._hop))
+        f_bucket = self._bucket(frames, self.frame_buckets, "frames")
+
+        prompt = np.zeros((1, self.prompt_samples), np.float32)
+        crop = prompt_audio.reshape(-1)[-self.prompt_samples:]
+        prompt[0, : crop.shape[0]] = crop
+
+        fn = self._fn_for(t_bucket, f_bucket)
+        with self._lock:
+            wav = fn(
+                self.variables, jnp.asarray(prompt), jnp.asarray(ids),
+                jnp.asarray([n_tokens], jnp.int32), jax.random.PRNGKey(seed),
+            )
+            wav = np.asarray(jax.block_until_ready(wav))[0]
+        return wav[: frames * self._hop], self._sr
+
+
+class TTSServer(ThreadingHTTPServer):
+    """`POST /tts` + `GET /healthz` around a `TTSEngine` (stdlib only)."""
+
+    daemon_threads = True
+
+    def __init__(self, engine: TTSEngine, address: Tuple[str, int] = ("127.0.0.1", 0)):
+        self.engine = engine
+        super().__init__(address, _Handler)
+
+    @property
+    def port(self) -> int:
+        return self.server_address[1]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *args):  # quiet
+        pass
+
+    def _json(self, code: int, obj):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path != "/healthz":
+            return self._json(404, {"error": "not found"})
+        eng = self.server.engine
+        self._json(200, {
+            "status": "ok",
+            "sample_rate": eng._sr,
+            "compiled_buckets": sorted(map(list, eng._jitted)),
+            "text_buckets": list(eng.text_buckets),
+            "frame_buckets": list(eng.frame_buckets),
+        })
+
+    def do_POST(self):
+        if self.path != "/tts":
+            return self._json(404, {"error": "not found"})
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length) or b"{}")
+            text = req["text"]
+            if "prompt_wav_base64" in req:
+                from naturalspeech2_tpu.data import decode_audio_bytes
+
+                raw = base64.b64decode(req["prompt_wav_base64"])
+                prompt, _sr = decode_audio_bytes(raw)
+            elif "prompt_path" in req:
+                from naturalspeech2_tpu.data import load_audio
+
+                prompt, _sr = load_audio(req["prompt_path"])
+            else:
+                raise KeyError("prompt_wav_base64 or prompt_path required")
+            wav, sr = self.server.engine.tts(
+                text, np.asarray(prompt), seconds=req.get("seconds"),
+                seed=int(req.get("seed", 0)),
+            )
+        except (KeyError, ValueError) as e:
+            return self._json(400, {"error": str(e)})
+        body = _wav_bytes(wav, sr)
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def _demo_engine() -> TTSEngine:
+    """Tiny randomly-initialised conditional pipeline (serving plumbing
+    demo — swap in trained variables for real speech)."""
+    import naturalspeech2_tpu as ns
+
+    codec = ns.SoundStream(
+        codebook_dim=16, channels=4, num_quantizers=2, codebook_size=16,
+        use_pallas_rvq=False,
+    )
+    model = ns.Model(
+        dim=16, depth=1, heads=2, dim_head=8, wavenet_layers=1,
+        wavenet_stacks=1, condition_on_prompt=True, dim_prompt=24,
+        num_latents_m=4, resampler_depth=1, use_flash_attn=False,
+    )
+    ns2 = ns.NaturalSpeech2(
+        model=model, codec=codec, timesteps=4, tokenizer=ns.Tokenizer(),
+        duration_pitch_dim=24, aligner_dim_in=8, aligner_dim_hidden=24,
+        aligner_attn_channels=8, pitch_emb_dim=32, pitch_emb_pp_hidden_dim=24,
+        phoneme_enc_kwargs=dict(dim=24, dim_hidden=24, kernel_size=3, depth=1,
+                                dim_head=8, heads=2, use_flash=False),
+        prompt_enc_kwargs=dict(dims=(24, 24), depth=1, heads=2, dim_head=8,
+                               kernel_size=3, use_flash_attn=False),
+        duration_pitch_kwargs=dict(dim_encoded_prompts=24, depth=1,
+                                   kernel_size=3, heads=2, dim_head=8,
+                                   dim_hidden=24, use_flash_attn=False,
+                                   num_convolutions_per_block=1,
+                                   num_convs_per_resnet_block=1),
+    )
+    key = jax.random.PRNGKey(0)
+    audio = jax.random.uniform(key, (1, 640), minval=-1, maxval=1)
+    variables = ns2.init(
+        {"params": key, "times": key, "noise": key},
+        audio,
+        text=jnp.asarray(ns2.tokenizer.texts_to_tensor_ids(["hi"])),
+        mel=jax.random.normal(key, (1, 8, 10)),
+        pitch=100.0 + 50.0 * jax.random.uniform(key, (1, 1, 10)),
+        prompt=audio,
+    )
+    params = dict(variables["params"])
+    params["codec"] = codec.init(key, audio)["params"]
+    return TTSEngine(
+        ns2, {"params": params}, text_buckets=(16, 32),
+        frame_buckets=(8, 16), prompt_samples=640, timesteps=2,
+        cond_scale=1.0,
+    )
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--demo", action="store_true",
+                    help="serve a tiny random model (plumbing demo)")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8777)
+    args = ap.parse_args()
+    if not args.demo:
+        raise SystemExit(
+            "construct TTSServer(TTSEngine(ns2, variables)) around a trained "
+            "model, or pass --demo for the plumbing demo"
+        )
+    eng = _demo_engine()
+    print("compiling serving buckets...", flush=True)
+    print("compiled:", eng.warmup())
+    srv = TTSServer(eng, (args.host, args.port))
+    print(f"serving on http://{args.host}:{srv.port}  (POST /tts, GET /healthz)")
+    srv.serve_forever()

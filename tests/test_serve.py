@@ -1,0 +1,124 @@
+"""TTS serving: bucketed compiled inference + the HTTP endpoint.
+
+Drives the real server over a socket: POST /tts with raw text and a
+base64 WAV prompt must return playable 16-bit WAV audio; bucket routing
+must reuse compiled programs; oversize requests must 400.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import naturalspeech2_tpu as ns
+from naturalspeech2_tpu.serve import TTSEngine, TTSServer, _wav_bytes
+
+
+@pytest.fixture(scope="module")
+def engine():
+    codec = ns.SoundStream(
+        codebook_dim=16, channels=4, num_quantizers=2, codebook_size=16,
+        use_pallas_rvq=False,
+    )
+    model = ns.Model(
+        dim=16, depth=1, heads=2, dim_head=8, wavenet_layers=1,
+        wavenet_stacks=1, condition_on_prompt=True, dim_prompt=24,
+        num_latents_m=4, resampler_depth=1, use_flash_attn=False,
+    )
+    small = dict(
+        duration_pitch_dim=24, aligner_dim_in=8, aligner_dim_hidden=24,
+        aligner_attn_channels=8, pitch_emb_dim=32, pitch_emb_pp_hidden_dim=24,
+        phoneme_enc_kwargs=dict(dim=24, dim_hidden=24, kernel_size=3, depth=1,
+                                dim_head=8, heads=2, use_flash=False),
+        prompt_enc_kwargs=dict(dims=(24, 24), depth=1, heads=2, dim_head=8,
+                               kernel_size=3, use_flash_attn=False),
+        duration_pitch_kwargs=dict(dim_encoded_prompts=24, depth=1,
+                                   kernel_size=3, heads=2, dim_head=8,
+                                   dim_hidden=24, use_flash_attn=False,
+                                   num_convolutions_per_block=1,
+                                   num_convs_per_resnet_block=1),
+    )
+    ns2 = ns.NaturalSpeech2(
+        model=model, codec=codec, timesteps=4, tokenizer=ns.Tokenizer(),
+        **small,
+    )
+    key = jax.random.PRNGKey(0)
+    audio = jax.random.uniform(key, (1, 2 * 320), minval=-1, maxval=1)
+    text_ids = jnp.asarray(ns2.tokenizer.texts_to_tensor_ids(["hi"]))
+    mel = jax.random.normal(key, (1, 8, 10))
+    pitch = 100.0 + 50.0 * jax.random.uniform(key, (1, 1, 10))
+    variables = ns2.init(
+        {"params": key, "times": key, "noise": key},
+        audio, text=text_ids, mel=mel, pitch=pitch, prompt=audio,
+    )
+    params = dict(variables["params"])
+    params["codec"] = codec.init(key, audio)["params"]
+    return TTSEngine(
+        ns2, {"params": params},
+        text_buckets=(16, 32), frame_buckets=(8, 16),
+        prompt_samples=640, timesteps=2, cond_scale=1.0,
+    )
+
+
+def test_engine_buckets_and_tts(engine):
+    compiled = engine.warmup(buckets=[(16, 8)])
+    assert (16, 8) in compiled
+
+    prompt = np.sin(np.linspace(0, 40, 960)).astype(np.float32)
+    wav, sr = engine.tts("hello", prompt, seconds=8 * 320 / 24000)
+    assert sr == 24000
+    assert wav.shape == (8 * 320,)
+    assert np.isfinite(wav).all()
+    # same bucket → no new compilation entries beyond (16, 8)
+    assert (16, 8) in engine._jitted
+
+    with pytest.raises(ValueError, match="bucket"):
+        engine.tts("x " * 200, prompt)  # text exceeds the largest bucket
+
+
+def test_http_server_roundtrip(engine):
+    server = TTSServer(engine)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["sample_rate"] == 24000
+
+        prompt = np.sin(np.linspace(0, 40, 960)).astype(np.float32)
+        req = urllib.request.Request(
+            f"{base}/tts",
+            data=json.dumps({
+                "text": "hello world",
+                "prompt_wav_base64": base64.b64encode(
+                    _wav_bytes(prompt, 24000)
+                ).decode(),
+                "seconds": 8 * 320 / 24000,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            body = r.read()
+        with wave.open(io.BytesIO(body)) as w:
+            assert w.getframerate() == 24000
+            assert w.getnframes() == 8 * 320
+
+        # bad request: missing prompt
+        bad = urllib.request.Request(
+            f"{base}/tts", data=json.dumps({"text": "x"}).encode(),
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad)
+        assert ei.value.code == 400
+    finally:
+        server.shutdown()
