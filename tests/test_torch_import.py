@@ -203,6 +203,26 @@ def test_load_torch_checkpoint_zip_reader(tmp_path):
     assert list(got2) == ["model.w"]
 
 
+def test_unpickler_refuses_arbitrary_globals(tmp_path):
+    """The torch-free reader must refuse pickles that reference globals
+    outside the tensor-rebuild allowlist — a checkpoint is untrusted
+    input and the stock Unpickler would execute `os.system` etc."""
+    import pickle
+    import zipfile
+
+    class Evil:
+        def __reduce__(self):
+            import os
+
+            return (os.path.join, ("pwned",))
+
+    path = tmp_path / "evil.pt"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("archive/data.pkl", pickle.dumps({"x": Evil()}))
+    with pytest.raises(pickle.UnpicklingError, match="refusing to unpickle"):
+        ti.load_torch_checkpoint(path)
+
+
 def test_full_ns2_roundtrip_via_file(tmp_path):
     """torch.save → torch-free reader → tree import: the flax denoiser
     reproduces the torch forward from a checkpoint FILE."""
