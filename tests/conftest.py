@@ -6,6 +6,7 @@ multi-node without a cluster (SURVEY.md §4). Must run before jax imports.
 """
 
 import os
+import sys
 
 # NOTE: the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME + the
 # config update below are what actually force the CPU backend here.
@@ -14,6 +15,18 @@ os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Drop the device-plugin site dir entirely for CPU-only tests: even with
+# the CPU backend forced, plugin *initialization* still connects to the
+# device tunnel, and a sick tunnel wedges every process (including the
+# multiprocess tests' subprocess workers) at import time. Strip it from
+# sys.path (this process) AND PYTHONPATH (subprocess workers).
+_PLUGIN_DIR = "/root/.axon_site"
+sys.path[:] = [p for p in sys.path if _PLUGIN_DIR not in p]
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if p and _PLUGIN_DIR not in p
+)
 
 import jax  # noqa: E402
 
