@@ -33,7 +33,7 @@ recurrent half; RVQ reuses the fused Pallas kernel
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -81,6 +81,8 @@ class EncodecConv(nn.Module):
     dilation: int = 1
     causal: bool = True
     pad_mode: str = "reflect"
+    norm_type: str = "weight_norm"  # weight_norm fused at import;
+    # "time_group_norm" (the 48 kHz model) applies GroupNorm(1 group)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -93,7 +95,7 @@ class EncodecConv(nn.Module):
             r = pad_total // 2
             left, right = pad_total - r, r + extra
         x = _pad1d(x, left, right, self.pad_mode)
-        return nn.Conv(
+        x = nn.Conv(
             self.out_channels,
             (self.kernel_size,),
             strides=(self.stride,),
@@ -101,6 +103,9 @@ class EncodecConv(nn.Module):
             padding="VALID",
             name="conv",
         )(x)
+        if self.norm_type == "time_group_norm":
+            x = nn.GroupNorm(num_groups=1, name="norm")(x)
+        return x
 
 
 class EncodecConvTranspose(nn.Module):
@@ -112,6 +117,7 @@ class EncodecConvTranspose(nn.Module):
     stride: int = 1
     causal: bool = True
     trim_right_ratio: float = 1.0
+    norm_type: str = "weight_norm"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -122,6 +128,8 @@ class EncodecConvTranspose(nn.Module):
             padding="VALID",
             name="conv",
         )(x)
+        if self.norm_type == "time_group_norm":
+            y = nn.GroupNorm(num_groups=1, name="norm")(y)
         pad_total = self.kernel_size - self.stride
         if self.causal:
             right = math.ceil(pad_total * self.trim_right_ratio)
@@ -190,25 +198,22 @@ class EncodecResnetBlock(nn.Module):
     causal: bool = True
     pad_mode: str = "reflect"
     use_conv_shortcut: bool = True
+    norm_type: str = "weight_norm"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         hidden = self.dim // self.compress
+        kw = dict(causal=self.causal, pad_mode=self.pad_mode,
+                  norm_type=self.norm_type)
         h = nn.elu(x)
         h = EncodecConv(
             hidden, self.kernel_size, dilation=self.dilation,
-            causal=self.causal, pad_mode=self.pad_mode, name="block_1",
+            name="block_1", **kw,
         )(h)
         h = nn.elu(h)
-        h = EncodecConv(
-            self.dim, 1, causal=self.causal, pad_mode=self.pad_mode,
-            name="block_3",
-        )(h)
+        h = EncodecConv(self.dim, 1, name="block_3", **kw)(h)
         if self.use_conv_shortcut:
-            x = EncodecConv(
-                self.dim, 1, causal=self.causal, pad_mode=self.pad_mode,
-                name="shortcut",
-            )(x)
+            x = EncodecConv(self.dim, 1, name="shortcut", **kw)(x)
         return x + h
 
 
@@ -234,13 +239,15 @@ class EncodecEncoder(nn.Module):
     causal: bool = True
     pad_mode: str = "reflect"
     num_lstm_layers: int = 2
+    norm_type: str = "weight_norm"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        kw = dict(causal=self.causal, pad_mode=self.pad_mode,
+                  norm_type=self.norm_type)
         idx = 0
         x = EncodecConv(
-            self.num_filters, self.kernel_size, causal=self.causal,
-            pad_mode=self.pad_mode, name=f"layer_{idx}",
+            self.num_filters, self.kernel_size, name=f"layer_{idx}", **kw,
         )(x)
         idx += 1
         scaling = 1
@@ -250,15 +257,14 @@ class EncodecEncoder(nn.Module):
                 x = EncodecResnetBlock(
                     current, self.dilation_growth_rate ** j,
                     kernel_size=self.residual_kernel_size,
-                    compress=self.compress, causal=self.causal,
-                    pad_mode=self.pad_mode, name=f"layer_{idx}",
+                    compress=self.compress, name=f"layer_{idx}", **kw,
                 )(x)
                 idx += 1
             idx += 1  # ELU slot
             x = nn.elu(x)
             x = EncodecConv(
-                current * 2, ratio * 2, stride=ratio, causal=self.causal,
-                pad_mode=self.pad_mode, name=f"layer_{idx}",
+                current * 2, ratio * 2, stride=ratio, name=f"layer_{idx}",
+                **kw,
             )(x)
             idx += 1
             scaling *= 2
@@ -269,8 +275,8 @@ class EncodecEncoder(nn.Module):
         idx += 2  # LSTM + ELU slots
         x = nn.elu(x)
         return EncodecConv(
-            self.hidden_size, self.last_kernel_size, causal=self.causal,
-            pad_mode=self.pad_mode, name=f"layer_{idx}",
+            self.hidden_size, self.last_kernel_size, name=f"layer_{idx}",
+            **kw,
         )(x)
 
 
@@ -291,14 +297,17 @@ class EncodecDecoder(nn.Module):
     trim_right_ratio: float = 1.0
     num_lstm_layers: int = 2
     audio_channels: int = 1
+    norm_type: str = "weight_norm"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        kw = dict(causal=self.causal, pad_mode=self.pad_mode,
+                  norm_type=self.norm_type)
         scaling = int(2 ** len(tuple(self.upsampling_ratios)))
         idx = 0
         x = EncodecConv(
-            scaling * self.num_filters, self.kernel_size, causal=self.causal,
-            pad_mode=self.pad_mode, name=f"layer_{idx}",
+            scaling * self.num_filters, self.kernel_size,
+            name=f"layer_{idx}", **kw,
         )(x)
         idx += 1
         x = EncodecLSTM(
@@ -312,23 +321,23 @@ class EncodecDecoder(nn.Module):
             x = nn.elu(x)
             x = EncodecConvTranspose(
                 current // 2, ratio * 2, stride=ratio, causal=self.causal,
-                trim_right_ratio=self.trim_right_ratio, name=f"layer_{idx}",
+                trim_right_ratio=self.trim_right_ratio,
+                norm_type=self.norm_type, name=f"layer_{idx}",
             )(x)
             idx += 1
             for j in range(self.num_residual_layers):
                 x = EncodecResnetBlock(
                     current // 2, self.dilation_growth_rate ** j,
                     kernel_size=self.residual_kernel_size,
-                    compress=self.compress, causal=self.causal,
-                    pad_mode=self.pad_mode, name=f"layer_{idx}",
+                    compress=self.compress, name=f"layer_{idx}", **kw,
                 )(x)
                 idx += 1
             scaling //= 2
         idx += 1  # ELU slot
         x = nn.elu(x)
         return EncodecConv(
-            self.audio_channels, self.last_kernel_size, causal=self.causal,
-            pad_mode=self.pad_mode, name=f"layer_{idx}",
+            self.audio_channels, self.last_kernel_size, name=f"layer_{idx}",
+            **kw,
         )(x)
 
 
@@ -365,10 +374,31 @@ class Encodec(nn.Module):
     trim_right_ratio: float = 1.0
     num_lstm_layers: int = 2
     use_pallas_rvq: bool = True
+    # 48 kHz-model knobs (facebook/encodec_48khz: norm_type=
+    # "time_group_norm", causal=False, audio_channels=2, normalize=True,
+    # chunk_length_s=1.0, overlap=0.01, target_sample_hz=48000)
+    norm_type: str = "weight_norm"
+    audio_channels: int = 1
+    normalize: bool = False
+    chunk_length_s: Optional[float] = None
+    overlap: Optional[float] = None
 
     @property
     def seq_len_multiple_of(self) -> int:
         return math.prod(self.upsampling_ratios)
+
+    @property
+    def chunk_length(self) -> Optional[int]:
+        if self.chunk_length_s is None:
+            return None
+        hop = self.seq_len_multiple_of
+        return int(self.chunk_length_s * self.target_sample_hz) // hop * hop
+
+    @property
+    def chunk_stride(self) -> Optional[int]:
+        if self.chunk_length is None:
+            return None
+        return max(1, int((1.0 - (self.overlap or 0.0)) * self.chunk_length))
 
     def setup(self):
         kw = dict(
@@ -384,10 +414,12 @@ class Encodec(nn.Module):
             causal=self.causal,
             pad_mode=self.pad_mode,
             num_lstm_layers=self.num_lstm_layers,
+            norm_type=self.norm_type,
         )
-        self.encoder = EncodecEncoder(**kw)
+        self.encoder = EncodecEncoder(**kw)  # input channels inferred
         self.decoder = EncodecDecoder(
-            trim_right_ratio=self.trim_right_ratio, **kw
+            trim_right_ratio=self.trim_right_ratio,
+            audio_channels=self.audio_channels, **kw,
         )
         self.codebooks = self.param(
             "codebooks",
@@ -397,9 +429,15 @@ class Encodec(nn.Module):
 
     # ------------------------------------------------------------------ #
 
+    def _to_ntc(self, audio: jax.Array) -> jax.Array:
+        """[b, T] mono or [b, C, T] multichannel → channels-last [b, T, C]."""
+        if audio.ndim == 2:
+            return audio[..., None]
+        return jnp.swapaxes(audio, 1, 2)
+
     def encode_latents(self, audio: jax.Array) -> jax.Array:
         """audio ``[b, T]`` → unquantized latents ``[b, ceil(T/320), d]``."""
-        return self.encoder(audio[..., None])
+        return self.encoder(self._to_ntc(audio))
 
     def quantize(self, latents: jax.Array) -> Tuple[jax.Array, jax.Array]:
         b, n, d = latents.shape
@@ -457,3 +495,80 @@ class Encodec(nn.Module):
         if return_encoded:
             return latents, codes, None
         return self.decode(quantized)
+
+    # ------------------------------------------------------------------ #
+    # chunked / normalized API (the 48 kHz model's encode/decode shape:
+    # HF EncodecModel.encode/decode with chunk_length + overlap-add)
+    # ------------------------------------------------------------------ #
+
+    def _encode_frame(self, frame: jax.Array):
+        """One chunk [b, T, C] → (codes [b, n, Q], scale [b, 1] | None)."""
+        scale = None
+        if self.normalize:
+            mono = frame.sum(axis=-1, keepdims=True) / frame.shape[-1]
+            scale = jnp.sqrt((mono ** 2).mean(axis=1)) + 1e-8  # [b, 1]
+            frame = frame / scale[:, None, :]
+        latents = self.encoder(frame)
+        _, codes = self.quantize(latents)
+        return codes, scale
+
+    def encode_chunked(self, audio: jax.Array):
+        """audio [b, T] / [b, C, T] → (codes [F, b, n, Q], scales,
+        last_frame_pad_length).
+
+        With ``chunk_length`` unset this is one frame (F=1); the 48 kHz
+        configuration windows the input at ``chunk_stride`` and encodes
+        each chunk independently — including a trailing PARTIAL chunk,
+        whose codes are zero-padded to the full frame length and trimmed
+        again at decode (exact HF EncodecModel.encode semantics; each
+        chunk carries its own loudness scale when ``normalize``)."""
+        x = self._to_ntc(audio)
+        t = x.shape[1]
+        chunk = self.chunk_length or t
+        stride = self.chunk_stride or t
+        frames, scales = [], []
+        for off in range(0, t, stride):
+            codes, scale = self._encode_frame(x[:, off : off + chunk])
+            frames.append(codes)
+            scales.append(scale)
+        last_pad = frames[0].shape[1] - frames[-1].shape[1]
+        if last_pad:
+            frames[-1] = jnp.pad(
+                frames[-1], ((0, 0), (0, last_pad), (0, 0))
+            )
+        return jnp.stack(frames), scales, last_pad
+
+    def decode_chunked(
+        self, codes: jax.Array, scales=None, last_frame_pad_length: int = 0
+    ) -> jax.Array:
+        """(codes [F, b, n, Q], scales) → waveform [b, C, T] via linear
+        overlap-add across chunk frames (triangular weights, matching HF
+        `_linear_overlap_add`; chunk stride in samples = input stride)."""
+        hop = self.seq_len_multiple_of
+        outs = []
+        n_frames = codes.shape[0]
+        for f in range(n_frames):
+            frame = codes[f]
+            if f == n_frames - 1 and last_frame_pad_length > 0:
+                frame = frame[:, :-last_frame_pad_length]
+            wav = self.decoder(self.dequantize(frame))  # [b, t, C]
+            if scales is not None and scales[f] is not None:
+                wav = wav * scales[f][:, None, :]
+            outs.append(jnp.swapaxes(wav, 1, 2))  # [b, C, t]
+        if len(outs) == 1:
+            return outs[0]
+        stride_out = self.chunk_stride or hop
+        t_frame = outs[0].shape[-1]
+        total = stride_out * (len(outs) - 1) + outs[-1].shape[-1]
+        tvec = jnp.linspace(0.0, 1.0, t_frame + 2)[1:-1]
+        weight = 0.5 - jnp.abs(tvec - 0.5)
+        b, c = outs[0].shape[:2]
+        acc = jnp.zeros((b, c, total))
+        norm = jnp.zeros((total,))
+        off = 0
+        for wav in outs:
+            tl = wav.shape[-1]
+            acc = acc.at[..., off : off + tl].add(weight[:tl] * wav)
+            norm = norm.at[off : off + tl].add(weight[:tl])
+            off += stride_out
+        return acc / norm

@@ -347,7 +347,11 @@ def _wn_weight(sd, base):
 
 
 def _enc_conv(sd, base, transposed=False):
-    w = _wn_weight(sd, base)
+    """EncodecConv1d/-Transpose1d module subtree (``{base}.conv.*`` plus
+    optional ``{base}.norm.*`` GroupNorm for the time_group_norm models)
+    -> flax {"conv": ..., ["norm": ...]}."""
+    conv_base = f"{base}.conv" if base else "conv"
+    w = _wn_weight(sd, conv_base)
     if transposed:
         # torch ConvTranspose1d [in, out, k] -> flax ConvTranspose kernel
         # [k, in, out], spatially flipped (lax.conv_transpose correlates
@@ -355,9 +359,15 @@ def _enc_conv(sd, base, transposed=False):
         kernel = w.transpose(2, 0, 1)[::-1].copy()
     else:
         kernel = w.transpose(2, 1, 0).copy()
-    p = {"kernel": kernel}
-    if f"{base}.bias" in sd:
-        p["bias"] = _np(sd[f"{base}.bias"])
+    p = {"conv": {"kernel": kernel}}
+    if f"{conv_base}.bias" in sd:
+        p["conv"]["bias"] = _np(sd[f"{conv_base}.bias"])
+    norm_base = f"{base}.norm" if base else "norm"
+    if f"{norm_base}.weight" in sd:
+        p["norm"] = {
+            "scale": _np(sd[f"{norm_base}.weight"]),
+            "bias": _np(sd[f"{norm_base}.bias"]),
+        }
     return p
 
 
@@ -375,11 +385,11 @@ def _enc_lstm(sd, base):
 
 def _enc_resnet(sd, prefix):
     p = {
-        "block_1": {"conv": _enc_conv(sd, f"{prefix}block.1.conv")},
-        "block_3": {"conv": _enc_conv(sd, f"{prefix}block.3.conv")},
+        "block_1": _enc_conv(sd, f"{prefix}block.1"),
+        "block_3": _enc_conv(sd, f"{prefix}block.3"),
     }
     if any(k.startswith(f"{prefix}shortcut.") for k in sd):
-        p["shortcut"] = {"conv": _enc_conv(sd, f"{prefix}shortcut.conv")}
+        p["shortcut"] = _enc_conv(sd, f"{prefix}shortcut")
     return p
 
 
@@ -418,9 +428,7 @@ def encodec_params_from_hf(
                 out[mod][name] = _enc_resnet(lsub, "")
             else:
                 transposed = mod == "decoder" and i in tconv_idx
-                out[mod][name] = {
-                    "conv": _enc_conv(lsub, "conv", transposed=transposed)
-                }
+                out[mod][name] = _enc_conv(lsub, "", transposed=transposed)
 
     embeds = []
     for q in range(num_quantizers):

@@ -157,6 +157,91 @@ def test_golden_end_to_end_contract():
     assert np.max(np.abs(np.asarray(decoded) - ref_audio)) < 1e-4
 
 
+def test_golden_48khz_architecture_chunked():
+    """The facebook/encodec_48khz architecture family: time_group_norm,
+    NON-causal padding, stereo, per-chunk loudness normalization, and
+    linear overlap-add decode across 1-second chunks — golden vs the HF
+    EncodecModel's own chunked encode()/decode() (scaled-down dims)."""
+    from transformers import EncodecConfig, EncodecModel
+
+    sr, hop = 1600, 8
+    cfg = dict(
+        target_bandwidths=[1.5],
+        sampling_rate=sr,
+        audio_channels=2,
+        normalize=True,
+        chunk_length_s=0.1,   # 160 samples = 20 latent frames per chunk
+        overlap=0.25,
+        num_filters=4,
+        upsampling_ratios=[4, 2],
+        hidden_size=16,
+        codebook_size=32,
+        codebook_dim=16,
+        num_lstm_layers=1,
+        kernel_size=7,
+        last_kernel_size=7,
+        residual_kernel_size=3,
+        num_residual_layers=1,
+        use_causal_conv=False,
+        pad_mode="reflect",
+        compress=2,
+        use_conv_shortcut=True,
+        norm_type="time_group_norm",
+    )
+    torch.manual_seed(10)
+    ref = EncodecModel(EncodecConfig(**cfg)).eval()
+    with torch.no_grad():
+        for layer in ref.quantizer.layers:
+            layer.codebook.embed.normal_()
+
+    nq = ref.quantizer.get_num_quantizers_for_bandwidth(1.5)
+    params = ti.encodec_params_from_hf(
+        ref.state_dict(), num_quantizers=nq,
+        upsampling_ratios=cfg["upsampling_ratios"],
+        num_residual_layers=cfg["num_residual_layers"],
+    )
+    mine = Encodec(
+        codebook_dim=16, num_filters=4, upsampling_ratios=(4, 2),
+        num_residual_layers=1, num_quantizers=nq, codebook_size=32,
+        target_sample_hz=sr, num_lstm_layers=1, use_pallas_rvq=False,
+        causal=False, trim_right_ratio=1.0, norm_type="time_group_norm",
+        audio_channels=2, normalize=True, chunk_length_s=0.1, overlap=0.25,
+    )
+    # 3 chunks of 160 at stride 120: t = 160 + 2*120
+    rng = np.random.RandomState(11)
+    wav = rng.randn(2, 2, 160 + 2 * 120).astype(np.float32) * 0.3
+
+    variables = {"params": params}
+    codes, scales, last_pad = mine.apply(
+        variables, jnp.asarray(wav), method=mine.encode_chunked
+    )
+    with torch.no_grad():
+        enc = ref.encode(torch.from_numpy(wav), bandwidth=1.5,
+                         return_dict=True)
+    assert codes.shape[0] == enc.audio_codes.shape[0] == 4
+    assert last_pad == enc.last_frame_pad_length
+    np.testing.assert_array_equal(
+        np.asarray(codes),
+        enc.audio_codes.numpy().transpose(0, 1, 3, 2),
+    )
+    for f, s in enumerate(scales):
+        np.testing.assert_allclose(
+            np.asarray(s), enc.audio_scales[f].numpy(), rtol=1e-5
+        )
+
+    decoded = mine.apply(
+        variables, codes, scales, last_pad, method=mine.decode_chunked
+    )
+    with torch.no_grad():
+        ref_audio = ref.decode(
+            enc.audio_codes, enc.audio_scales,
+            last_frame_pad_length=enc.last_frame_pad_length,
+            return_dict=True,
+        ).audio_values.numpy()
+    assert decoded.shape == ref_audio.shape
+    assert np.max(np.abs(np.asarray(decoded) - ref_audio)) < 1e-4
+
+
 def test_golden_full_24khz_architecture():
     """The REAL facebook/encodec_24khz architecture (default EncodecConfig:
     num_filters 32, ratios 8/5/4/2, hidden 128, 1024×128 codebooks, 2-layer
