@@ -81,6 +81,7 @@ class Trainer:
         seed: int = 0,
         checkpoint_backend: str = "msgpack",
         param_sharding: str = "tp",
+        steps_per_dispatch: int = 1,
     ):
         """``param_sharding``: layout for params/EMA/optimizer state on the
         mesh — 'tp' (Megatron rules over the ``model`` axis, replicated when
@@ -105,6 +106,17 @@ class Trainer:
         self.checkpoint_backend = checkpoint_backend
         assert param_sharding in ("tp", "fsdp", "replicated"), param_sharding
         self.param_sharding = param_sharding
+        # K optimizer steps per device dispatch (ONE host→device upload +
+        # ONE sync per K steps, under lax.scan). Per-step dispatch overhead
+        # — not FLOPs — bounds small-model training through a device
+        # tunnel (measured: device_put of 600 KB ≈ 60 ms vs a 66 ms step).
+        # Same recipe as CodecTrainer's chunked dispatch.
+        assert steps_per_dispatch >= 1
+        assert train_num_steps % steps_per_dispatch == 0, (
+            "train_num_steps must divide into whole dispatch chunks "
+            "(a final partial chunk would force a second full compile)"
+        )
+        self.steps_per_dispatch = steps_per_dispatch
 
         target_hz = self.ns2.sample_hz
         if data_max_length is None and data_max_length_seconds is not None:
@@ -132,6 +144,12 @@ class Trainer:
             )
 
         self.mesh = mesh if mesh is not None else make_mesh()
+        n_data = self.mesh.shape[DATA_AXIS]
+        assert train_batch_size % n_data == 0, (
+            f"train_batch_size ({train_batch_size}) must be divisible by the "
+            f"mesh's data axis ({n_data} devices) — pass a smaller mesh "
+            f"(make_mesh(n_data=...)) or a larger batch"
+        )
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(max_grad_norm),
             optax.adam(lr, b1=betas[0], b2=betas[1]),
@@ -286,13 +304,30 @@ class Trainer:
         mean_metrics["loss"] = loss_sum / accum
         return new_state, mean_metrics
 
+    def _train_chunk(self, state: TrainState, batches: jax.Array, key: jax.Array):
+        """``steps_per_dispatch`` optimizer steps under one lax.scan:
+        batches ``[K, accum, micro_batch, ...]`` → (state, mean metrics)."""
+        keys = jax.random.split(key, self.steps_per_dispatch)
+
+        def body(st, inputs):
+            b, k = inputs
+            return self._train_step(st, b, k)
+
+        state, metrics = jax.lax.scan(body, state, (batches, keys))
+        return state, jax.tree_util.tree_map(lambda m: m.mean(), metrics)
+
     def build_train_step(self):
-        """Jit the train step. Shardings ride on the arguments: the state is
-        device_put with its layout (replicated, or TP-sharded over the
-        ``model`` axis via `parallel.tp.shard_state`) and the batch with
-        ``P(None, 'data')``; GSPMD propagates the rest and inserts the
-        gradient all-reduce."""
-        self._jit_train_step = jax.jit(self._train_step, donate_argnums=(0,))
+        """Jit the train step (or the K-step dispatch chunk). Shardings ride
+        on the arguments: the state is device_put with its layout
+        (replicated, or TP-sharded over the ``model`` axis via
+        `parallel.tp.shard_state`) and the batch with ``P(None, 'data')``;
+        GSPMD propagates the rest and inserts the gradient all-reduce."""
+        fn = (
+            self._train_step
+            if self.steps_per_dispatch == 1
+            else self._train_chunk
+        )
+        self._jit_train_step = jax.jit(fn, donate_argnums=(0,))
         return self._jit_train_step
 
     # ------------------------------------------------------------------ #
@@ -415,34 +450,54 @@ class Trainer:
             self.build_train_step()
 
         key = jax.random.PRNGKey(self.seed + 1)
-        bsh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+        K = self.steps_per_dispatch
+        # micro-batch axis rides the data mesh axis; for chunked dispatch the
+        # leading K axis is scan-time, never sharded
+        bsh = NamedSharding(
+            self.mesh,
+            P(None, None, DATA_AXIS) if K > 1 else P(None, DATA_AXIS),
+        )
         metrics_path = self.results_folder / "metrics.jsonl"
+        prof_active = False
+
+        def _reshape(x):
+            x = np.asarray(x)
+            return np.reshape(
+                x, (self.grad_accum_every, self.train_batch_size) + x.shape[1:]
+            )
 
         while int(self.state.step) < self.train_num_steps:
-            step = int(self.state.step)
-            if profile_steps and step == profile_steps[0]:
+            prev_step = int(self.state.step)
+            if profile_steps and not prof_active and prev_step >= profile_steps[0]:
                 jax.profiler.start_trace(str(self.results_folder / "profile"))
+                prof_active = True
 
-            batch = jax.tree_util.tree_map(
-                lambda x: np.reshape(
-                    np.asarray(x),
-                    (self.grad_accum_every, self.train_batch_size) + x.shape[1:],
-                ),
-                batch,
+            raws = [batch] + [next(self.batches) for _ in range(K - 1)]
+            reshaped = [jax.tree_util.tree_map(_reshape, r) for r in raws]
+            chunk = (
+                reshaped[0]
+                if K == 1
+                else jax.tree_util.tree_map(lambda *xs: np.stack(xs), *reshaped)
             )
-            batch = jax.device_put(batch, bsh)
+            chunk = jax.device_put(chunk, bsh)
             key, step_key = jax.random.split(key)
             t0 = _time.perf_counter()
             self.state, metrics = self._jit_train_step(
-                self.state, batch, step_key
+                self.state, chunk, step_key
             )
             step = int(self.state.step)  # syncs the step
-            step_time = _time.perf_counter() - t0
+            step_time = (_time.perf_counter() - t0) / K
 
-            if profile_steps and step == profile_steps[1]:
+            if profile_steps and prof_active and step >= profile_steps[1]:
                 jax.profiler.stop_trace()
+                prof_active = False
+                profile_steps = None
 
-            if step % log_every == 0 and is_main_process():
+            # a dispatch advances the step by K: fire each periodic action
+            # when its boundary was crossed anywhere inside the chunk
+            # (for K>1 the logged metrics are chunk means, step_time is
+            # wall-per-step amortized over the dispatch)
+            if step // log_every > prev_step // log_every and is_main_process():
                 loss = float(metrics["loss"])
                 print(f"step {step}: loss {loss:.4f} ({step_time*1e3:.0f} ms)")
                 with open(metrics_path, "a") as f:
@@ -452,7 +507,7 @@ class Trainer:
                         **{k: float(v) for k, v in metrics.items()},
                     }) + "\n")
 
-            if step % self.save_and_sample_every == 0:
+            if step // self.save_and_sample_every > prev_step // self.save_and_sample_every:
                 self.sample_and_save(step // self.save_and_sample_every)
 
             batch = next(self.batches)

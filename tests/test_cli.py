@@ -1,0 +1,131 @@
+"""CLI tests: `ns2-tpu train` → checkpoint → `ns2-tpu sample` → wav, config
+validation, and the torch-checkpoint conversion path (all CPU, tiny configs).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from naturalspeech2_tpu import cli
+from naturalspeech2_tpu.trainer import write_wav
+
+pytestmark = pytest.mark.slow
+
+TINY = {
+    "codec": {
+        "type": "soundstream",
+        "codebook_dim": 16,
+        "channels": 4,
+        "num_quantizers": 2,
+        "codebook_size": 16,
+        "use_pallas_rvq": False,
+    },
+    "model": {
+        "dim": 16,
+        "depth": 1,
+        "heads": 2,
+        "dim_head": 8,
+        "wavenet_layers": 2,
+        "wavenet_stacks": 2,
+        "use_flash_attn": False,
+    },
+    "ns2": {"timesteps": 4},
+    "trainer": {"sample_length": 4},
+}
+
+
+@pytest.fixture()
+def wav_folder(tmp_path):
+    folder = tmp_path / "wavs"
+    folder.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        write_wav(folder / f"a{i}.wav", rng.uniform(-1, 1, 4000), 24000)
+    return folder
+
+
+def test_train_then_sample(tmp_path, wav_folder):
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(TINY))
+    results = tmp_path / "results"
+
+    rc = cli.main([
+        "train", "--folder", str(wav_folder), "--config", str(cfg_path),
+        "--steps", "2", "--batch-size", "2", "--save-every", "2",
+        "--results", str(results), "--data-seconds", "0.04",
+        "--log-every", "1", "--mesh-data", "2",
+    ])
+    assert rc == 0
+    ckpt = results / "model-1.ckpt"
+    assert ckpt.exists()
+    assert (results / "sample-1.wav").exists()
+
+    out = tmp_path / "out"
+    rc = cli.main([
+        "sample", "--checkpoint", str(ckpt), "--config", str(cfg_path),
+        "--out", str(out), "--length", "4", "--batch", "2",
+        "--timesteps", "2",
+    ])
+    assert rc == 0
+    wavs = sorted(out.glob("sample-*.wav"))
+    assert len(wavs) == 2
+    from naturalspeech2_tpu.data import load_audio
+
+    audio, sr = load_audio(str(wavs[0]))
+    assert sr == 24000
+    assert len(audio) > 0
+
+
+def test_codec_train_cli(tmp_path, wav_folder):
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps({"codec": TINY["codec"]}))
+    results = tmp_path / "results_codec"
+    rc = cli.main([
+        "codec-train", "--folder", str(wav_folder), "--config", str(cfg_path),
+        "--steps", "4", "--batch-size", "2", "--save-every", "2",
+        "--data-seconds", "0.04", "--results", str(results),
+        "--steps-per-dispatch", "2", "--mesh-data", "2",
+    ])
+    assert rc == 0
+    ckpts = sorted(results.glob("codec-*.ckpt"))
+    assert len(ckpts) >= 2  # one per save_every segment
+
+
+def test_config_rejects_unknown_section(tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"modell": {"dim": 8}}))
+    with pytest.raises(AssertionError, match="unknown config section"):
+        cli.load_config(str(bad))
+
+
+def test_flagship_defaults():
+    cfg = cli.load_config(None)
+    assert cfg["model"]["dim"] == 128 and cfg["model"]["depth"] == 6
+    assert cfg["codec"]["type"] == "soundstream"
+    assert cfg["ns2"]["timesteps"] == 1000
+
+
+def test_import_torch_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent / "golden"))
+    import refload
+
+    if not refload.reference_available():
+        pytest.skip("reference package not importable")
+    REF = refload.load_reference()
+    torch.manual_seed(0)
+    model = REF.ns2.Model(
+        dim=16, depth=1, heads=2, dim_head=8, ff_mult=2,
+        wavenet_layers=1, wavenet_stacks=1, use_flash_attn=False,
+    )
+    pt = tmp_path / "ref.pt"
+    torch.save({f"model.{k}": v for k, v in model.state_dict().items()}, pt)
+
+    out = tmp_path / "model-0.ckpt"
+    rc = cli.main(["import-torch", "--input", str(pt), "--output", str(out)])
+    assert rc == 0
+    assert out.exists() and out.stat().st_size > 1000

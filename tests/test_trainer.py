@@ -112,6 +112,40 @@ def test_full_train_loop(tmp_path):
     assert int(t.state.step) == 2
 
 
+def test_chunked_dispatch_train_loop(tmp_path):
+    """steps_per_dispatch=2: one device dispatch per 2 optimizer steps, with
+    periodic actions fired on boundary crossings inside the chunk."""
+    ns2 = tiny_ns2()
+    t = Trainer(
+        ns2,
+        batches=batch_iter(4, 640),
+        train_batch_size=4,
+        grad_accum_every=1,
+        train_num_steps=4,
+        save_and_sample_every=3,  # crossed mid-chunk (steps 2→4)
+        results_folder=str(tmp_path),
+        sample_length=2,
+        mesh=make_mesh(n_data=4, devices=jax.devices()[:4]),
+        steps_per_dispatch=2,
+    )
+    t.train(log_every=2)
+    assert int(t.state.step) == 4
+    # milestone 1 (step 3) fired inside the second chunk
+    assert (tmp_path / "model-1.ckpt").exists()
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_chunked_dispatch_requires_whole_chunks():
+    with pytest.raises(AssertionError, match="whole dispatch chunks"):
+        Trainer(
+            tiny_ns2(),
+            batches=batch_iter(4, 640),
+            train_batch_size=4,
+            train_num_steps=5,
+            steps_per_dispatch=2,
+        )
+
+
 def test_write_wav(tmp_path):
     path = tmp_path / "x.wav"
     write_wav(path, np.sin(np.linspace(0, 100, 2400)), 24000)
