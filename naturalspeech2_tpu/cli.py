@@ -295,11 +295,21 @@ def cmd_serve(args) -> int:
             "conditioning (model.condition_on_prompt)"
         )
         variables = load_for_inference(ns2, args.checkpoint)
+        mesh = None
+        if args.tp > 1:
+            import jax
+
+            from naturalspeech2_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(
+                n_data=1, n_model=args.tp, devices=jax.devices()[: args.tp]
+            )
         engine = serve_mod.TTSEngine(
             ns2,
             variables,
             timesteps=args.timesteps or 100,
             cond_scale=args.cond_scale,
+            mesh=mesh,
         )
     if not args.no_warmup:
         print("compiling serving buckets...", flush=True)
@@ -427,6 +437,8 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--cond-scale", type=float, default=3.0)
     v.add_argument("--no-warmup", action="store_true",
                    help="compile buckets lazily on first request")
+    v.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel serving over N chips (latency mode)")
     v.set_defaults(fn=cmd_serve)
 
     i = sub.add_parser(

@@ -93,12 +93,25 @@ class TTSEngine:
     timesteps: Optional[int] = 100
     max_batch: int = 4
     batch_window_ms: float = 8.0
+    mesh: Optional[object] = None  # jax.sharding.Mesh: multi-chip TP serving
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def __post_init__(self):
         from naturalspeech2_tpu.models.naturalspeech2 import sample as _sample
 
         self._sample = _sample
+        if self.mesh is not None:
+            # latency-oriented multi-chip serving: Megatron-pattern tensor
+            # parallelism over the mesh's ``model`` axis — params carry the
+            # shardings, GSPMD inserts the attention/FF all-reduces inside
+            # every denoise step of the jitted sampling scan (same layout
+            # the driver's dryrun exercises). Inputs stay host-side numpy
+            # (uncommitted), so jit places them on the mesh per program.
+            from naturalspeech2_tpu.parallel import tp
+
+            self.variables = jax.device_put(
+                self.variables, tp.state_shardings(self.mesh, self.variables)
+            )
         self._jitted = {}
         self._hop = (
             self.ns2.codec.seq_len_multiple_of

@@ -21,8 +21,7 @@ import naturalspeech2_tpu as ns
 from naturalspeech2_tpu.serve import TTSEngine, TTSServer, _wav_bytes
 
 
-@pytest.fixture(scope="module")
-def engine():
+def _build_tiny_engine(mesh=None):
     codec = ns.SoundStream(
         codebook_dim=16, channels=4, num_quantizers=2, codebook_size=16,
         use_pallas_rvq=False,
@@ -64,7 +63,36 @@ def engine():
         ns2, {"params": params},
         text_buckets=(16, 32), frame_buckets=(8, 16),
         prompt_samples=640, timesteps=2, cond_scale=1.0,
+        mesh=mesh,
     )
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return _build_tiny_engine()
+
+
+def test_tp_mesh_serving_matches_single_device(engine):
+    """TTSEngine(mesh=…): params TP-sharded over the 'model' axis must
+    produce the same waveform as the unsharded engine (same init key)."""
+    from naturalspeech2_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=1, n_model=2, devices=jax.devices()[:2])
+    tp_engine = _build_tiny_engine(mesh=mesh)
+
+    # params actually carry the mesh
+    leaves = jax.tree_util.tree_leaves(tp_engine.variables)
+    assert any(
+        getattr(l.sharding, "mesh", None) is not None
+        and l.sharding.mesh.shape.get("model") == 2
+        for l in leaves
+    )
+
+    prompt = np.sin(np.linspace(0, 40, 960)).astype(np.float32)
+    wav_tp, sr = tp_engine.tts("hello", prompt, seconds=8 * 320 / 24000, seed=3)
+    wav_1d, _ = engine.tts("hello", prompt, seconds=8 * 320 / 24000, seed=3)
+    assert sr == 24000
+    np.testing.assert_allclose(wav_tp, wav_1d, atol=2e-4)
 
 
 def test_engine_buckets_and_tts(engine):
