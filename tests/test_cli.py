@@ -92,6 +92,76 @@ def test_codec_train_cli(tmp_path, wav_folder):
     assert len(ckpts) >= 2  # one per save_every segment
 
 
+CONDITIONAL = {
+    "codec": TINY["codec"],
+    "model": {
+        **TINY["model"],
+        "wavenet_layers": 1,
+        "wavenet_stacks": 1,
+        "condition_on_prompt": True,
+        "dim_prompt": 24,
+        "num_latents_m": 4,
+        "resampler_depth": 1,
+    },
+    "ns2": {
+        "timesteps": 4,
+        "duration_pitch_dim": 24,
+        "aligner_dim_in": 8,
+        "aligner_dim_hidden": 24,
+        "aligner_attn_channels": 8,
+        "pitch_emb_dim": 32,
+        "pitch_emb_pp_hidden_dim": 24,
+        "phoneme_enc_kwargs": dict(dim=24, dim_hidden=24, kernel_size=3,
+                                   depth=1, dim_head=8, heads=2,
+                                   use_flash=False),
+        "prompt_enc_kwargs": dict(dims=(24, 24), depth=1, heads=2, dim_head=8,
+                                  kernel_size=3, use_flash_attn=False),
+        "duration_pitch_kwargs": dict(dim_encoded_prompts=24, depth=1,
+                                      kernel_size=3, heads=2, dim_head=8,
+                                      dim_hidden=24, use_flash_attn=False,
+                                      num_convolutions_per_block=1,
+                                      num_convs_per_resnet_block=1),
+    },
+    "trainer": {"sample_length": 4},
+}
+
+
+def test_conditional_sample_from_text_and_prompt(tmp_path, wav_folder):
+    """`ns2-tpu sample --text --prompt` on a conditional checkpoint: the
+    checkpoint here is a fresh init written through the Trainer save path."""
+    import jax
+
+    from naturalspeech2_tpu.parallel.mesh import make_mesh
+    from naturalspeech2_tpu.trainer import Trainer
+
+    cfg_path = tmp_path / "cond.json"
+    cfg_path.write_text(json.dumps(CONDITIONAL))
+
+    ns2 = cli.build_ns2(cli.load_config(str(cfg_path)))
+    assert ns2.conditional
+    trainer = Trainer(
+        ns2,
+        batches=cli._dummy_batches(ns2, 640),
+        train_batch_size=1,
+        save_and_sample_every=10**9,
+        results_folder=str(tmp_path / "results"),
+        mesh=make_mesh(n_data=1, devices=jax.devices()[:1]),
+    )
+    trainer.init_state(next(trainer.batches))
+    ckpt = trainer.save(0)
+
+    out = tmp_path / "out"
+    rc = cli.main([
+        "sample", "--checkpoint", ckpt, "--config", str(cfg_path),
+        "--out", str(out), "--length", "4", "--timesteps", "2",
+        "--text", "hello world", "--prompt",
+        str(sorted(wav_folder.glob("*.wav"))[0]),
+    ])
+    assert rc == 0
+    wavs = sorted(out.glob("sample-*.wav"))
+    assert len(wavs) == 1
+
+
 def test_config_rejects_unknown_section(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps({"modell": {"dim": 8}}))
