@@ -100,6 +100,7 @@ class TTSEngine:
         from naturalspeech2_tpu.models.naturalspeech2 import sample as _sample
 
         self._sample = _sample
+        self._dur_jitted = {}
         if self.mesh is not None:
             # latency-oriented multi-chip serving: Megatron-pattern tensor
             # parallelism over the mesh's ``model`` axis — params carry the
@@ -137,6 +138,35 @@ class TTSEngine:
             f"{what}={value} exceeds the largest serving bucket "
             f"{max(buckets)}; raise {what}_buckets"
         )
+
+    def _dur_fn_for(self, t_bucket: int):
+        """Jitted duration-predictor program (one per text bucket): total
+        predicted frames for a batch of token ids — the NaturalSpeech 2
+        way to choose output length when the caller gives no ``seconds``
+        (prompt-conditioned duration predictor, same truncation as the
+        sampler's `generate_mask_from_repeats` int cast)."""
+        if t_bucket not in self._dur_jitted:
+            ns2 = self.ns2
+
+            def duration_only(mdl, prompt, text):
+                prompt_latents = mdl.process_prompt(prompt)
+                prompt_enc = mdl.prompt_enc(prompt_latents, deterministic=True)
+                phoneme_enc = mdl.phoneme_enc(text, deterministic=True)
+                d, _ = mdl.duration_pitch(
+                    phoneme_enc, prompt_enc, deterministic=True
+                )
+                return d
+
+            def run(variables, prompt, text, text_lens):
+                d = ns2.apply(variables, prompt, text, method=duration_only)
+                pos = jnp.arange(d.shape[-1])[None, :]
+                keep = pos < text_lens[:, None]
+                return jnp.sum(
+                    jnp.where(keep, d.astype(jnp.int32), 0), axis=-1
+                )
+
+            self._dur_jitted[t_bucket] = jax.jit(run)
+        return self._dur_jitted[t_bucket]
 
     def _fn_for(self, t_bucket: int, f_bucket: int):
         key = (t_bucket, f_bucket)
@@ -182,17 +212,27 @@ class TTSEngine:
                     dtype=ids.dtype),
         ])
 
-        if seconds is None:
-            # ~2 frames per phoneme heuristic when no duration requested
-            frames = min(max(n_tokens * 2, min(self.frame_buckets)),
-                         max(self.frame_buckets))
-        else:
-            frames = int(round(seconds * self._sr / self._hop))
-        f_bucket = self._bucket(frames, self.frame_buckets, "frames")
-
         prompt = np.zeros((self.prompt_samples,), np.float32)
         crop = prompt_audio.reshape(-1)[-self.prompt_samples:]
         prompt[: crop.shape[0]] = crop
+
+        if seconds is None:
+            # no duration requested → ask the model: prompt-conditioned
+            # duration predictor decides the output length (one extra small
+            # device call; program cached per text bucket)
+            fn = self._dur_fn_for(t_bucket)
+            with self._lock:
+                pred = fn(
+                    self.variables,
+                    jnp.asarray(prompt)[None],
+                    jnp.asarray(ids)[None],
+                    jnp.asarray([n_tokens], jnp.int32),
+                )
+                frames = max(1, int(np.asarray(pred)[0]))
+            frames = min(frames, max(self.frame_buckets))
+        else:
+            frames = int(round(seconds * self._sr / self._hop))
+        f_bucket = self._bucket(frames, self.frame_buckets, "frames")
         return _Request(ids, n_tokens, prompt, frames, t_bucket, f_bucket, seed)
 
     def _run_batch(self, reqs: Sequence["_Request"]):

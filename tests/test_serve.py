@@ -111,6 +111,18 @@ def test_engine_buckets_and_tts(engine):
         engine.tts("x " * 200, prompt)  # text exceeds the largest bucket
 
 
+def test_auto_length_uses_duration_predictor(engine):
+    """seconds=None → the prompt-conditioned duration predictor chooses the
+    output length (clamped into the frame-bucket range)."""
+    prompt = np.sin(np.linspace(0, 40, 960)).astype(np.float32)
+    wav, sr = engine.tts("hello there", prompt)  # no seconds
+    assert sr == 24000
+    assert 1 * 320 <= wav.shape[0] <= max(engine.frame_buckets) * 320
+    assert wav.shape[0] % 320 == 0
+    # the duration program is cached per text bucket
+    assert len(engine._dur_jitted) == 1
+
+
 def test_dynamic_batching_shares_device_calls(engine):
     """Concurrent same-bucket requests must run as ONE batched dispatch;
     results must match the same request run solo at the same batch."""
