@@ -257,8 +257,12 @@ def cmd_sample(args) -> int:
 
         prompt_audio, sr = load_audio(args.prompt)
         prompt_audio = resample(prompt_audio, sr, ns2.sample_hz)
-        kwargs["prompt"] = jnp.asarray(prompt_audio)[None, :]
-        kwargs["text"] = list(args.text)
+        texts = list(args.text)
+        # one prompt voice, N texts: tile to the text batch
+        kwargs["prompt"] = jnp.tile(
+            jnp.asarray(prompt_audio)[None, :], (len(texts), 1)
+        )
+        kwargs["text"] = texts
         kwargs["cond_scale"] = args.cond_scale
     else:
         kwargs["batch_size"] = args.batch
