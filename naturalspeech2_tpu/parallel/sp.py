@@ -259,16 +259,14 @@ def ring_attend(
         shard = jax.lax.axis_index(axis)
         row = shard * n_local + jnp.arange(n_local)  # global query rows
 
-        # pvary: the accumulators are per-shard values (they will depend on
-        # axis_index through the hop), so mark them varying over the mesh
-        # axis up front — otherwise the scan carry types mismatch
-        m0 = jax.lax.pvary(
-            jnp.full((b, h, n_local), NEG_INF, jnp.float32), axis
-        )
-        l0 = jax.lax.pvary(jnp.zeros((b, h, n_local), jnp.float32), axis)
-        acc0 = jax.lax.pvary(
-            jnp.zeros((b, h, n_local, d), jnp.float32), axis
-        )
+        # pcast to=varying: the accumulators are per-shard values (they
+        # will depend on axis_index through the hop), so mark them varying
+        # over the mesh axis up front — otherwise the scan carry types
+        # mismatch (was jax.lax.pvary, deprecated in jax 0.9)
+        _vary = lambda x: jax.lax.pcast(x, axis, to="varying")
+        m0 = _vary(jnp.full((b, h, n_local), NEG_INF, jnp.float32))
+        l0 = _vary(jnp.zeros((b, h, n_local), jnp.float32))
+        acc0 = _vary(jnp.zeros((b, h, n_local, d), jnp.float32))
 
         def accumulate(m, l, acc, k_cur, v_cur, mask_cur, hop_idx):
             # kv chunk currently held came from shard (shard - hop) mod P
