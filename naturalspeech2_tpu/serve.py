@@ -282,6 +282,114 @@ class TTSEngine:
             return req.result, self._sr
         return self._run_batch([req])[0], self._sr
 
+    def tts_long(
+        self,
+        text: str,
+        prompt_audio: np.ndarray,
+        seed: int = 0,
+        crossfade_ms: float = 20.0,
+    ) -> Tuple[np.ndarray, int]:
+        """Long-form TTS: split ``text`` at sentence boundaries into chunks
+        that fit the text buckets, synthesize each (duration-predictor
+        length), and join with a short equal-power crossfade.
+
+        Chunks are independently sampled — the shared prompt keeps the
+        voice consistent (the zero-shot premise); the crossfade removes
+        boundary clicks. With the batcher running, chunks are submitted
+        concurrently and same-bucket chunks share device calls.
+        """
+        chunks = self._split_text(text)
+        if len(chunks) == 1:
+            return self.tts(chunks[0], prompt_audio, seed=seed)
+
+        results: list = [None] * len(chunks)
+        if self._queue is not None:
+            # concurrent submission → the batcher groups same-bucket chunks
+            errors: list = [None] * len(chunks)
+
+            def worker(i):
+                try:
+                    results[i] = self.tts(
+                        chunks[i], prompt_audio, seed=seed + i
+                    )[0]
+                except Exception as e:  # noqa: BLE001 — re-raised below
+                    errors[i] = e
+
+            threads = [
+                threading.Thread(target=worker, args=(i,))
+                for i in range(len(chunks))
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            for e in errors:
+                if e is not None:
+                    raise e
+        else:
+            for i, c in enumerate(chunks):
+                results[i] = self.tts(c, prompt_audio, seed=seed + i)[0]
+
+        fade = int(self._sr * crossfade_ms / 1e3)
+        out = results[0]
+        for nxt in results[1:]:
+            f = min(fade, len(out), len(nxt))
+            if f > 0:
+                ramp = np.sin(
+                    np.linspace(0, np.pi / 2, f, dtype=np.float32)
+                )
+                mixed = out[-f:] * np.flip(ramp) + nxt[:f] * ramp
+                out = np.concatenate([out[:-f], mixed, nxt[f:]])
+            else:
+                out = np.concatenate([out, nxt])
+        return out, self._sr
+
+    def _split_text(self, text: str) -> list:
+        """Sentence-boundary split, greedily re-packed so every chunk fits
+        the largest text bucket (token count measured with the real
+        tokenizer)."""
+        import re
+
+        budget = max(self.text_buckets)
+        pieces = [
+            p.strip() for p in re.split(r"(?<=[.!?;:])\s+", text) if p.strip()
+        ]
+
+        def n_tok(s: str) -> int:
+            return np.asarray(
+                self.ns2.tokenizer.texts_to_tensor_ids([s])
+            ).shape[1]
+
+        chunks, current = [], ""
+        for p in pieces:
+            candidate = f"{current} {p}".strip() if current else p
+            if current and n_tok(candidate) > budget:
+                chunks.append(current)
+                current = p
+            else:
+                current = candidate
+        if current:
+            chunks.append(current)
+
+        # a single sentence can still overflow: split it on whitespace
+        final = []
+        for c in chunks:
+            if n_tok(c) <= budget:
+                final.append(c)
+                continue
+            words = c.split()
+            cur = ""
+            for w in words:
+                cand = f"{cur} {w}".strip() if cur else w
+                if cur and n_tok(cand) > budget:
+                    final.append(cur)
+                    cur = w
+                else:
+                    cur = cand
+            if cur:
+                final.append(cur)
+        return final or [text]
+
     # ------------------------------------------------------------------ #
     # dynamic batching
     # ------------------------------------------------------------------ #
@@ -404,10 +512,20 @@ class _Handler(BaseHTTPRequestHandler):
                 prompt, _sr = load_audio(req["prompt_path"])
             else:
                 raise KeyError("prompt_wav_base64 or prompt_path required")
-            wav, sr = self.server.engine.tts(
-                text, np.asarray(prompt), seconds=req.get("seconds"),
-                seed=int(req.get("seed", 0)),
-            )
+            engine = self.server.engine
+            n_tokens = np.asarray(
+                engine.ns2.tokenizer.texts_to_tensor_ids([text])
+            ).shape[1]
+            if n_tokens > max(engine.text_buckets) or req.get("long"):
+                # long-form: sentence-chunked synthesis instead of a 400
+                wav, sr = engine.tts_long(
+                    text, np.asarray(prompt), seed=int(req.get("seed", 0))
+                )
+            else:
+                wav, sr = engine.tts(
+                    text, np.asarray(prompt), seconds=req.get("seconds"),
+                    seed=int(req.get("seed", 0)),
+                )
         except (KeyError, ValueError) as e:
             return self._json(400, {"error": str(e)})
         body = _wav_bytes(wav, sr)

@@ -158,6 +158,24 @@ def test_dynamic_batching_shares_device_calls(engine):
     assert wav.shape == (8 * 320,)
 
 
+def test_tts_long_sentence_chunking(engine):
+    """tts_long: text beyond the largest bucket is sentence-split, chunks
+    synthesized (duration-predictor lengths) and crossfaded together."""
+    text = "hello there. " * 6  # well past the 32-token budget
+    chunks = engine._split_text(text)
+    assert len(chunks) >= 2
+    for c in chunks:
+        n = np.asarray(engine.ns2.tokenizer.texts_to_tensor_ids([c])).shape[1]
+        assert n <= max(engine.text_buckets)
+
+    prompt = np.sin(np.linspace(0, 40, 960)).astype(np.float32)
+    wav, sr = engine.tts_long(text, prompt, seed=1)
+    assert sr == 24000
+    assert np.isfinite(wav).all()
+    # at least two chunks minus crossfade overlap
+    assert wav.shape[0] > 320
+
+
 def test_http_server_roundtrip(engine):
     server = TTSServer(engine)
     t = threading.Thread(target=server.serve_forever, daemon=True)
