@@ -15,6 +15,7 @@ from naturalspeech2_tpu.models.naturalspeech2 import (
     NaturalSpeech2,
     ddim_sample,
     ddpm_sample,
+    dpmpp_sample,
     sample,
 )
 from naturalspeech2_tpu.models.denoiser import Model, forward_with_cond_scale

@@ -54,6 +54,9 @@ class NaturalSpeech2(nn.Module):
     # (the reference's torchaudio compute_kaldi_pitch path, :124-130)
     timesteps: int = 1000
     use_ddim: bool = True
+    # explicit sampler choice: "ddim" | "ddpm" | "dpmpp" (DPM-Solver++(2M),
+    # the few-step fast path — no reference analogue). None → use_ddim.
+    sampler: Optional[str] = None
     noise_schedule: str = "sigmoid"
     objective: str = "v"
     # probability of feeding the model its own x₀ estimate during training
@@ -116,6 +119,7 @@ class NaturalSpeech2(nn.Module):
     def setup(self):
         assert self.objective in {"x0", "eps", "v"}
         assert self.scale <= 1.0
+        assert self.sampler in {None, "ddim", "ddpm", "dpmpp"}, self.sampler
         if self.codec is not None:
             assert self.model.dim == self.codec.codebook_dim, (
                 f"model dim {self.model.dim} must equal codec codebook dim "
@@ -516,6 +520,80 @@ def _reconstruct_x0(objective, audio, model_output, alpha, sigma):
     return alpha * audio - sigma * model_output  # v
 
 
+def dpmpp_sample(
+    denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    key: jax.Array,
+    shape: Tuple[int, ...],
+    *,
+    timesteps: int,
+    gamma_schedule: Callable[[jax.Array], jax.Array],
+    objective: str = "v",
+    scale: float = 1.0,
+    time_difference: float = 0.0,
+    self_cond: bool = False,
+) -> jax.Array:
+    """DPM-Solver++(2M): 2nd-order multistep ODE solver in the
+    data-prediction (x₀) parameterization — one model call per step, like
+    DDIM, but materially more accurate at low step counts (8–25), so
+    serving can cut denoise steps ~4× at matched sample quality. No
+    reference analogue (the reference ships ddpm/ddim only,
+    naturalspeech2_pytorch.py:1310/:1379); same call signature as
+    `ddim_sample` so it drops into `sample()`.
+
+    Math (Lu et al. 2022, "DPM-Solver++", eq. 4.2/4.3): with λ = ½·logSNR,
+    the variation-of-constants solution of the probability-flow ODE is
+    x_s = (σ_s/σ_t)·x_t − α_s·(e^{−h}−1)·x̂₀ with h = λ_s − λ_t; the 2M
+    scheme replaces x̂₀ with the linear multistep extrapolation
+    D = (1 + 1/2r)·x̂₀(t) − (1/2r)·x̂₀(t_prev), r = h_prev/h. The first
+    step (no history) is the 1st-order update, which in this
+    parameterization is exactly DDIM."""
+    audio0 = jax.random.normal(key, shape)
+    pairs = get_sampling_time_pairs(timesteps)
+    idxs = jnp.arange(timesteps)
+
+    def lam_of(t):
+        gamma = gamma_schedule(t)
+        return 0.5 * gamma_to_log_snr(gamma, scale)
+
+    def body(carry, inp):
+        audio, x0_prev, lam_prev = carry
+        pair, i = inp
+        t, t_next = pair[0], pair[1]
+        gamma = gamma_schedule(t)
+        gamma_next = gamma_schedule(jnp.clip(t_next - time_difference, min=0.0))
+        alpha, sigma = gamma_to_alpha_sigma(gamma, scale)
+        alpha_next, sigma_next = gamma_to_alpha_sigma(gamma_next, scale)
+        lam = 0.5 * gamma_to_log_snr(gamma, scale)
+        lam_next = 0.5 * gamma_to_log_snr(gamma_next, scale)
+
+        times = jnp.broadcast_to(t, (shape[0],))
+        if self_cond:
+            model_output = denoise_fn(audio, times, x0_prev)
+        else:
+            model_output = denoise_fn(audio, times)
+        x0 = _reconstruct_x0(objective, audio, model_output, alpha, sigma)
+
+        h = lam_next - lam
+        h_prev = lam - lam_prev
+        # 2nd-order multistep coefficient 1/(2r) = h/(2·h_prev). Degrade to
+        # 1st order (pure x̂₀ — exactly DDIM) when the extrapolation is
+        # ill-posed: the first step (no history), h_prev ≈ 0 (λ flat, e.g.
+        # the clipped-log-SNR region at t≈1), or h = ∞ (γ(0) = 1 exactly,
+        # the final step of schedules that reach zero noise).
+        use_2nd = (i > 0) & jnp.isfinite(h) & (h_prev > 1e-8)
+        ratio = jnp.where(use_2nd, h / jnp.maximum(h_prev, 1e-8), 0.0)
+        data = x0 + ratio * (x0 - x0_prev) / 2.0
+        audio = safe_div(sigma_next, sigma) * audio - alpha_next * jnp.expm1(
+            -h
+        ) * data
+        return (audio, x0, lam), ()
+
+    (audio, _, _), _ = jax.lax.scan(
+        body, (audio0, jnp.zeros_like(audio0), lam_of(jnp.asarray(1.0))), (pairs, idxs)
+    )
+    return audio
+
+
 def ddim_sample(
     denoise_fn: Callable[[jax.Array, jax.Array], jax.Array],
     key: jax.Array,
@@ -666,7 +744,9 @@ def sample(
             x_self_cond=x_self_cond,
         )
 
-    sampler = ddim_sample if ns2.use_ddim else ddpm_sample
+    name = ns2.sampler or ("ddim" if ns2.use_ddim else "ddpm")
+    sampler = {"ddim": ddim_sample, "ddpm": ddpm_sample,
+               "dpmpp": dpmpp_sample}[name]
     latents = sampler(
         denoise_fn,
         key,
