@@ -245,6 +245,8 @@ def cmd_sample(args) -> int:
     from naturalspeech2_tpu.trainer import write_wav
 
     cfg = load_config(args.config)
+    if args.sampler is not None:
+        cfg["ns2"]["sampler"] = args.sampler
     ns2 = build_ns2(cfg)
     variables = load_for_inference(ns2, args.checkpoint, use_ema=not args.no_ema)
 
@@ -420,6 +422,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--length", type=int, default=1024,
                    help="latent frames (320 samples each at 24 kHz)")
     s.add_argument("--timesteps", type=int, default=None)
+    s.add_argument("--sampler", choices=("ddim", "ddpm", "dpmpp"),
+                   default=None,
+                   help="dpmpp = DPM-Solver++(2M), accurate at 6-25 steps")
     s.add_argument("--batch", type=int, default=1)
     s.add_argument("--no-ema", action="store_true",
                    help="sample raw params instead of the EMA copy")
