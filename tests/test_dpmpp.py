@@ -69,6 +69,24 @@ def test_dpmpp_converges_to_reference():
     assert np.abs(out - ref).mean() < 1e-2
 
 
+def test_dpmpp_self_cond_arity():
+    """self_cond=True calls denoise_fn(audio, times, x0_prev)."""
+    seen = []
+
+    def denoise_fn(audio, times, x_self_cond):
+        seen.append(True)
+        gamma = sigmoid_schedule(times[0])
+        alpha, sigma = gamma_to_alpha_sigma(gamma)
+        denom = alpha**2 * S**2 + sigma**2
+        return (alpha * S**2 * audio + sigma**2 * x_self_cond * 0.0) / denom
+
+    out = dpmpp_sample(
+        denoise_fn, jax.random.PRNGKey(0), SHAPE, timesteps=4,
+        gamma_schedule=sigmoid_schedule, objective="x0", self_cond=True,
+    )
+    assert seen and np.isfinite(np.asarray(out)).all()
+
+
 def test_ns2_sampler_knob():
     """NaturalSpeech2(sampler='dpmpp') drives end-to-end sampling."""
     from naturalspeech2_tpu.models.codec import SoundStream
