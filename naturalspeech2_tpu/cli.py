@@ -176,6 +176,7 @@ def cmd_train(args) -> int:
         ("data_max_length_seconds", args.data_seconds),
         ("checkpoint_backend", args.checkpoint_backend),
         ("param_sharding", args.param_sharding),
+        ("skip_nonfinite_updates", args.skip_nonfinite or None),
     ]:
         if value is not None:
             tr_kwargs[name] = value
@@ -392,6 +393,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     t.add_argument("--mesh-data", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    t.add_argument("--skip-nonfinite", action="store_true",
+                   help="skip (don't apply) updates with non-finite grads")
     t.add_argument("--log-every", type=int, default=50)
     t.set_defaults(fn=cmd_train)
 

@@ -82,6 +82,7 @@ class Trainer:
         checkpoint_backend: str = "msgpack",
         param_sharding: str = "tp",
         steps_per_dispatch: int = 1,
+        skip_nonfinite_updates: bool = False,
     ):
         """``param_sharding``: layout for params/EMA/optimizer state on the
         mesh — 'tp' (Megatron rules over the ``model`` axis, replicated when
@@ -117,6 +118,11 @@ class Trainer:
             "(a final partial chunk would force a second full compile)"
         )
         self.steps_per_dispatch = steps_per_dispatch
+        # production guard: a batch that produces non-finite grads (bf16
+        # overflow, corrupt sample) skips the optimizer/EMA update in-graph
+        # instead of poisoning the params; surfaced as metrics['skipped'].
+        # Off by default — the reference applies every update (:1888).
+        self.skip_nonfinite_updates = skip_nonfinite_updates
 
         target_hz = self.ns2.sample_hz
         if data_max_length is None and data_max_length_seconds is not None:
@@ -282,6 +288,18 @@ class Trainer:
         )
         params = optax.apply_updates(state.params, updates)
 
+        skipped = jnp.zeros((), jnp.float32)
+        if self.skip_nonfinite_updates:
+            finite = jnp.asarray(True)
+            for g in jax.tree_util.tree_leaves(grads):
+                finite = jnp.logical_and(finite, jnp.all(jnp.isfinite(g)))
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda a, b: jnp.where(finite, a, b), new, old
+            )
+            params = keep(params, state.params)
+            opt_state = keep(opt_state, state.opt_state)
+            skipped = 1.0 - finite.astype(jnp.float32)
+
         step = state.step + 1
         d = self.ema_decay
 
@@ -302,6 +320,8 @@ class Trainer:
         )
         mean_metrics = jax.tree_util.tree_map(lambda m: m.mean(), metrics)
         mean_metrics["loss"] = loss_sum / accum
+        if self.skip_nonfinite_updates:
+            mean_metrics["skipped"] = skipped
         return new_state, mean_metrics
 
     def _train_chunk(self, state: TrainState, batches: jax.Array, key: jax.Array):

@@ -135,6 +135,43 @@ def test_chunked_dispatch_train_loop(tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+def test_skip_nonfinite_updates(tmp_path):
+    """A NaN batch must not touch params/opt state when the guard is on;
+    the next clean batch applies normally."""
+    ns2 = tiny_ns2()
+    t = Trainer(
+        ns2,
+        batches=batch_iter(4, 640),
+        train_batch_size=4,
+        grad_accum_every=1,
+        train_num_steps=4,
+        save_and_sample_every=10**9,
+        results_folder=str(tmp_path),
+        sample_length=2,
+        mesh=make_mesh(n_data=4, devices=jax.devices()[:4]),
+        skip_nonfinite_updates=True,
+    )
+    batch = next(t.batches)
+    state = t.init_state(batch)
+    step_fn = t.build_train_step()
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params["model"])[0])
+
+    bad = np.reshape(batch, (1, 4, -1)).copy()
+    bad[0, 0, :10] = np.nan
+    state, metrics = step_fn(state, jnp.asarray(bad), jax.random.PRNGKey(0))
+    assert float(metrics["skipped"]) == 1.0
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params["model"])[0])
+    np.testing.assert_array_equal(p0, p1)
+    assert int(state.step) == 1  # step still advances
+
+    good = np.reshape(next(t.batches), (1, 4, -1))
+    state, metrics = step_fn(state, jnp.asarray(good), jax.random.PRNGKey(1))
+    assert float(metrics["skipped"]) == 0.0
+    assert np.isfinite(float(metrics["loss"]))
+    p2 = np.asarray(jax.tree_util.tree_leaves(state.params["model"])[0])
+    assert not np.array_equal(p1, p2)
+
+
 def test_chunked_dispatch_requires_whole_chunks():
     with pytest.raises(AssertionError, match="whole dispatch chunks"):
         Trainer(
