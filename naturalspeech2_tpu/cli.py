@@ -177,6 +177,8 @@ def cmd_train(args) -> int:
         ("checkpoint_backend", args.checkpoint_backend),
         ("param_sharding", args.param_sharding),
         ("skip_nonfinite_updates", args.skip_nonfinite or None),
+        ("lr_schedule", args.lr_schedule),
+        ("warmup_steps", args.warmup_steps),
     ]:
         if value is not None:
             tr_kwargs[name] = value
@@ -395,6 +397,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh size (default: all devices)")
     t.add_argument("--skip-nonfinite", action="store_true",
                    help="skip (don't apply) updates with non-finite grads")
+    t.add_argument("--lr-schedule", choices=("cosine", "linear"),
+                   default=None, help="default: constant lr")
+    t.add_argument("--warmup-steps", type=int, default=None)
     t.add_argument("--log-every", type=int, default=50)
     t.set_defaults(fn=cmd_train)
 

@@ -83,6 +83,8 @@ class Trainer:
         param_sharding: str = "tp",
         steps_per_dispatch: int = 1,
         skip_nonfinite_updates: bool = False,
+        lr_schedule: Optional[str] = None,
+        warmup_steps: int = 0,
     ):
         """``param_sharding``: layout for params/EMA/optimizer state on the
         mesh — 'tp' (Megatron rules over the ``model`` axis, replicated when
@@ -156,6 +158,27 @@ class Trainer:
             f"mesh's data axis ({n_data} devices) — pass a smaller mesh "
             f"(make_mesh(n_data=...)) or a larger batch"
         )
+        # lr_schedule: None → the reference's constant lr (:1779); "cosine"
+        # → linear warmup over ``warmup_steps`` then cosine decay to 10% of
+        # peak at train_num_steps; "linear" → warmup then linear decay to 0.
+        assert lr_schedule in (None, "cosine", "linear"), lr_schedule
+        if lr_schedule == "cosine":
+            lr = optax.warmup_cosine_decay_schedule(
+                init_value=0.0, peak_value=lr, warmup_steps=warmup_steps,
+                decay_steps=train_num_steps, end_value=0.1 * lr,
+            )
+        elif lr_schedule == "linear":
+            lr = optax.join_schedules(
+                [
+                    optax.linear_schedule(0.0, lr, max(warmup_steps, 1)),
+                    optax.linear_schedule(
+                        lr, 0.0, max(train_num_steps - warmup_steps, 1)
+                    ),
+                ],
+                [warmup_steps],
+            )
+        elif warmup_steps > 0:
+            lr = optax.linear_schedule(0.0, lr, warmup_steps)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(max_grad_norm),
             optax.adam(lr, b1=betas[0], b2=betas[1]),

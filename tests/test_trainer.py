@@ -172,6 +172,41 @@ def test_skip_nonfinite_updates(tmp_path):
     assert not np.array_equal(p1, p2)
 
 
+def test_lr_schedule_warmup_freezes_then_moves(tmp_path):
+    """cosine schedule with warmup: step 1 runs at lr≈0 (params barely
+    move), later steps apply a real lr."""
+    ns2 = tiny_ns2()
+    t = Trainer(
+        ns2,
+        batches=batch_iter(4, 640),
+        train_batch_size=4,
+        grad_accum_every=1,
+        train_num_steps=100,
+        save_and_sample_every=10**9,
+        results_folder=str(tmp_path),
+        sample_length=2,
+        mesh=make_mesh(n_data=4, devices=jax.devices()[:4]),
+        lr_schedule="cosine",
+        warmup_steps=50,
+    )
+    batch = next(t.batches)
+    state = t.init_state(batch)
+    step_fn = t.build_train_step()
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params["model"])[0])
+    b = jnp.asarray(np.reshape(batch, (1, 4, -1)))
+    state, _ = step_fn(state, b, jax.random.PRNGKey(0))
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params["model"])[0])
+    # warmup step 0: lr = 0 exactly → no movement
+    np.testing.assert_allclose(p0, p1, atol=1e-7)
+    for i in range(3):
+        state, _ = step_fn(
+            state, jnp.asarray(np.reshape(next(t.batches), (1, 4, -1))),
+            jax.random.PRNGKey(1 + i),
+        )
+    p4 = np.asarray(jax.tree_util.tree_leaves(state.params["model"])[0])
+    assert not np.allclose(p1, p4, atol=1e-7)
+
+
 def test_chunked_dispatch_requires_whole_chunks():
     with pytest.raises(AssertionError, match="whole dispatch chunks"):
         Trainer(
