@@ -336,6 +336,49 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Model summary: per-module parameter counts, codec framing, and the
+    serving-relevant numbers (hop, sample rate, frames/sec)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = load_config(args.config)
+    ns2 = build_ns2(cfg)
+
+    key = jax.random.PRNGKey(0)
+    hop = ns2.codec.seq_len_multiple_of if ns2.codec is not None else 320
+    batch = next(_dummy_batches(ns2, 2 * hop))
+    if isinstance(batch, dict):
+        audio0 = jnp.asarray(batch["audio"])
+        extra = {k: jnp.asarray(v) for k, v in batch.items() if k != "audio"}
+    else:
+        audio0, extra = jnp.asarray(batch), {}
+    rngs = {
+        n: key
+        for n in ("params", "times", "noise", "cfg", "dropout", "self_cond")
+    }
+    variables = ns2.init(rngs, audio0, **extra)
+    params = dict(variables["params"])
+    if ns2.codec is not None:
+        params["codec"] = ns2.codec.init(key, audio0)["params"]
+
+    def count(tree) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(tree))
+
+    total = count(params)
+    print(f"model: {type(ns2.model).__name__} dim={ns2.dim} "
+          f"conditional={ns2.conditional} sampler="
+          f"{ns2.sampler or ('ddim' if ns2.use_ddim else 'ddpm')} "
+          f"timesteps={ns2.timesteps}")
+    print(f"codec: hop={hop} sample_hz={ns2.sample_hz} "
+          f"({ns2.sample_hz / hop:.1f} latent frames/sec)")
+    for name in sorted(params):
+        n = count(params[name])
+        print(f"  {name:<16} {n:>12,}  ({100 * n / total:.1f}%)")
+    print(f"  {'TOTAL':<16} {total:>12,}")
+    return 0
+
+
 def cmd_import_torch(args) -> int:
     import flax
 
@@ -457,6 +500,10 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel serving over N chips (latency mode)")
     v.set_defaults(fn=cmd_serve)
+
+    n = sub.add_parser("info", help="model summary for a config")
+    common(n)
+    n.set_defaults(fn=cmd_info)
 
     i = sub.add_parser(
         "import-torch",
