@@ -101,6 +101,9 @@ class TTSEngine:
 
         self._sample = _sample
         self._dur_jitted = {}
+        # observability ring buffer: (wall_seconds, bucket) per request
+        self._latencies: list = []
+        self._requests = 0
         if self.mesh is not None:
             # latency-oriented multi-chip serving: Megatron-pattern tensor
             # parallelism over the mesh's ``model`` axis — params carry the
@@ -273,14 +276,45 @@ class TTSEngine:
         that land in the same (text, frame) bucket share one device call;
         otherwise each request dispatches directly.
         """
+        t0 = time.monotonic()
         req = self._prepare(text, prompt_audio, seconds, seed)
         if self._queue is not None:
             self._queue.put(req)
             req.done.wait()
             if req.error is not None:
                 raise req.error
-            return req.result, self._sr
-        return self._run_batch([req])[0], self._sr
+            result = req.result
+        else:
+            result = self._run_batch([req])[0]
+        self._record(time.monotonic() - t0, req)
+        return result, self._sr
+
+    def _record(self, wall_s: float, req: "_Request"):
+        self._requests += 1
+        self._latencies.append((wall_s, (req.t_bucket, req.f_bucket)))
+        if len(self._latencies) > 1024:  # bounded ring
+            del self._latencies[: len(self._latencies) - 1024]
+
+    def stats(self) -> dict:
+        """Serving metrics: request/device-call counts and end-to-end
+        latency percentiles (over the last ≤1024 requests), per bucket."""
+        lats = sorted(w for w, _ in self._latencies)
+
+        def pct(p):
+            if not lats:
+                return None
+            return round(lats[min(len(lats) - 1, int(p * len(lats)))] * 1e3, 1)
+
+        by_bucket: dict = {}
+        for _, b in self._latencies:
+            by_bucket[str(b)] = by_bucket.get(str(b), 0) + 1
+        return {
+            "requests": self._requests,
+            "device_calls": self._device_calls,
+            "latency_ms": {"p50": pct(0.5), "p95": pct(0.95), "p99": pct(0.99)},
+            "requests_by_bucket": by_bucket,
+            "compiled_buckets": sorted(self._jitted),
+        }
 
     def tts_long(
         self,
@@ -481,6 +515,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def do_GET(self):
+        if self.path == "/metrics":
+            return self._json(200, self.server.engine.stats())
         if self.path != "/healthz":
             return self._json(404, {"error": "not found"})
         eng = self.server.engine

@@ -206,6 +206,13 @@ def test_http_server_roundtrip(engine):
             assert w.getframerate() == 24000
             assert w.getnframes() == 8 * 320
 
+        # observability: /metrics reflects the traffic this module sent
+        with urllib.request.urlopen(f"{base}/metrics") as r:
+            stats = json.loads(r.read())
+        assert stats["requests"] >= 1
+        assert stats["latency_ms"]["p50"] is not None
+        assert stats["device_calls"] >= 1
+
         # bad request: missing prompt
         bad = urllib.request.Request(
             f"{base}/tts", data=json.dumps({"text": "x"}).encode(),
