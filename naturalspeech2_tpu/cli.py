@@ -290,6 +290,43 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def build_engine(
+    config: Optional[str],
+    checkpoint: str,
+    *,
+    timesteps: Optional[int] = None,
+    cond_scale: float = 3.0,
+    tp: int = 1,
+    **engine_kwargs,
+):
+    """checkpoint + config → a ready `TTSEngine` (the `serve` glue,
+    separated so it is testable without a blocking HTTP server)."""
+    from naturalspeech2_tpu import serve as serve_mod
+
+    cfg = load_config(config)
+    ns2 = build_ns2(cfg)
+    assert ns2.conditional, (
+        "serving is text→speech: the config must enable prompt "
+        "conditioning (model.condition_on_prompt)"
+    )
+    variables = load_for_inference(ns2, checkpoint)
+    mesh = None
+    if tp > 1:
+        import jax
+
+        from naturalspeech2_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=1, n_model=tp, devices=jax.devices()[:tp])
+    return serve_mod.TTSEngine(
+        ns2,
+        variables,
+        timesteps=timesteps or 100,
+        cond_scale=cond_scale,
+        mesh=mesh,
+        **engine_kwargs,
+    )
+
+
 def cmd_serve(args) -> int:
     from naturalspeech2_tpu import serve as serve_mod
 
@@ -297,28 +334,12 @@ def cmd_serve(args) -> int:
         engine = serve_mod._demo_engine()
     else:
         assert args.checkpoint is not None, "pass --checkpoint (or --demo)"
-        cfg = load_config(args.config)
-        ns2 = build_ns2(cfg)
-        assert ns2.conditional, (
-            "serving is text→speech: the config must enable prompt "
-            "conditioning (model.condition_on_prompt)"
-        )
-        variables = load_for_inference(ns2, args.checkpoint)
-        mesh = None
-        if args.tp > 1:
-            import jax
-
-            from naturalspeech2_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh(
-                n_data=1, n_model=args.tp, devices=jax.devices()[: args.tp]
-            )
-        engine = serve_mod.TTSEngine(
-            ns2,
-            variables,
-            timesteps=args.timesteps or 100,
+        engine = build_engine(
+            args.config,
+            args.checkpoint,
+            timesteps=args.timesteps,
             cond_scale=args.cond_scale,
-            mesh=mesh,
+            tp=args.tp,
         )
     if not args.no_warmup:
         print("compiling serving buckets...", flush=True)

@@ -162,6 +162,38 @@ def test_conditional_sample_from_text_and_prompt(tmp_path, wav_folder):
     assert len(wavs) == 1
 
 
+def test_build_engine_from_checkpoint(tmp_path):
+    """The `serve` glue: conditional checkpoint + config → working engine."""
+    import jax
+
+    from naturalspeech2_tpu.parallel.mesh import make_mesh
+    from naturalspeech2_tpu.trainer import Trainer
+
+    cfg_path = tmp_path / "cond.json"
+    cfg_path.write_text(json.dumps(CONDITIONAL))
+    ns2 = cli.build_ns2(cli.load_config(str(cfg_path)))
+    trainer = Trainer(
+        ns2,
+        batches=cli._dummy_batches(ns2, 640),
+        train_batch_size=1,
+        save_and_sample_every=10**9,
+        results_folder=str(tmp_path / "results"),
+        mesh=make_mesh(n_data=1, devices=jax.devices()[:1]),
+    )
+    trainer.init_state(next(trainer.batches))
+    ckpt = trainer.save(0)
+
+    engine = cli.build_engine(
+        str(cfg_path), ckpt, timesteps=2, cond_scale=1.0,
+        text_buckets=(16,), frame_buckets=(8,), prompt_samples=640,
+    )
+    wav, sr = engine.tts(
+        "hi", np.zeros(640, np.float32), seconds=8 * 320 / 24000
+    )
+    assert sr == 24000 and wav.shape == (8 * 320,)
+    assert np.isfinite(wav).all()
+
+
 def test_config_rejects_unknown_section(tmp_path):
     bad = tmp_path / "bad.json"
     bad.write_text(json.dumps({"modell": {"dim": 8}}))
