@@ -85,6 +85,8 @@ class Trainer:
         skip_nonfinite_updates: bool = False,
         lr_schedule: Optional[str] = None,
         warmup_steps: int = 0,
+        val_batches: Optional[Iterator[np.ndarray]] = None,
+        validate_every: int = 500,
     ):
         """``param_sharding``: layout for params/EMA/optimizer state on the
         mesh — 'tp' (Megatron rules over the ``model`` axis, replicated when
@@ -125,6 +127,13 @@ class Trainer:
         # instead of poisoning the params; surfaced as metrics['skipped'].
         # Off by default — the reference applies every update (:1888).
         self.skip_nonfinite_updates = skip_nonfinite_updates
+        # held-out evaluation: every ``validate_every`` steps run the loss
+        # (no grads, FIXED diffusion times/noise draws so the series is
+        # comparable across evals) on one batch from ``val_batches`` and
+        # log it as val_* in metrics.jsonl. The reference has no eval loop.
+        self.val_batches = val_batches
+        self.validate_every = validate_every
+        self._jit_eval = None
 
         target_hz = self.ns2.sample_hz
         if data_max_length is None and data_max_length_seconds is not None:
@@ -359,6 +368,33 @@ class Trainer:
         state, metrics = jax.lax.scan(body, state, (batches, keys))
         return state, jax.tree_util.tree_map(lambda m: m.mean(), metrics)
 
+    def evaluate(self) -> dict:
+        """One held-out eval: loss components on a ``val_batches`` batch,
+        deterministic (fixed PRNG for times/noise/cfg, EMA weights NOT used
+        — matches what training optimizes)."""
+        assert self.val_batches is not None, "pass val_batches= to Trainer"
+        if self._jit_eval is None:
+
+            def eval_loss(params, batch, key):
+                rngs = {
+                    name: jax.random.fold_in(key, j)
+                    for j, name in enumerate(
+                        ("times", "noise", "cfg", "dropout", "self_cond")
+                    )
+                }
+                _, metrics = self._loss_fn(params, batch, rngs)
+                return metrics
+
+            self._jit_eval = jax.jit(eval_loss)
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x)[: self.train_batch_size]),
+            next(self.val_batches),
+        )
+        metrics = self._jit_eval(
+            self.state.params, batch, jax.random.PRNGKey(self.seed + 1234)
+        )
+        return {f"val_{k}": float(v) for k, v in metrics.items()}
+
     def build_train_step(self):
         """Jit the train step (or the K-step dispatch chunk). Shardings ride
         on the arguments: the state is device_put with its layout
@@ -549,6 +585,16 @@ class Trainer:
                         "step_time_s": round(step_time, 4),
                         **{k: float(v) for k, v in metrics.items()},
                     }) + "\n")
+
+            if (
+                self.val_batches is not None
+                and step // self.validate_every > prev_step // self.validate_every
+                and is_main_process()
+            ):
+                val = self.evaluate()
+                print(f"step {step}: val_loss {val['val_loss']:.4f}")
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps({"step": step, **val}) + "\n")
 
             if step // self.save_and_sample_every > prev_step // self.save_and_sample_every:
                 self.sample_and_save(step // self.save_and_sample_every)
