@@ -179,6 +179,8 @@ def cmd_train(args) -> int:
         ("skip_nonfinite_updates", args.skip_nonfinite or None),
         ("lr_schedule", args.lr_schedule),
         ("warmup_steps", args.warmup_steps),
+        ("val_fraction", args.val_fraction),
+        ("validate_every", args.validate_every),
     ]:
         if value is not None:
             tr_kwargs[name] = value
@@ -464,6 +466,9 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--lr-schedule", choices=("cosine", "linear"),
                    default=None, help="default: constant lr")
     t.add_argument("--warmup-steps", type=int, default=None)
+    t.add_argument("--val-fraction", type=float, default=None,
+                   help="hold out this fraction of files for val_loss")
+    t.add_argument("--validate-every", type=int, default=None)
     t.add_argument("--log-every", type=int, default=50)
     t.set_defaults(fn=cmd_train)
 

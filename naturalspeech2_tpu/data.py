@@ -108,11 +108,33 @@ class SoundDataset:
         target_sample_hz: int = 24000,
         seq_len_multiple_of: Optional[int] = None,
         seed: int = 0,
+        split: Optional[str] = None,
+        val_fraction: float = 0.05,
     ):
+        """``split``: None (all files), "train", or "val" — a deterministic
+        per-file hash split (stable across runs and machines, independent
+        of folder ordering), ``val_fraction`` of files going to "val"."""
         self.paths: List[Path] = sorted(
             p for p in Path(folder).rglob("*") if p.suffix.lower() in AUDIO_EXTS
         )
-        assert len(self.paths) > 0, f"no audio files found in {folder}"
+        if split is not None:
+            import zlib
+
+            assert split in ("train", "val"), split
+            assert 0.0 < val_fraction < 1.0, val_fraction
+
+            def is_val(p: Path) -> bool:
+                h = zlib.crc32(p.name.encode()) / 0xFFFFFFFF
+                return h < val_fraction
+
+            self.paths = [
+                p for p in self.paths if is_val(p) == (split == "val")
+            ]
+        assert len(self.paths) > 0, (
+            f"no audio files found in {folder}"
+            + (f" for split={split!r} (val_fraction={val_fraction})"
+               if split else "")
+        )
         self.max_length = max_length
         self.target_sample_hz = target_sample_hz
         self.seq_len_multiple_of = seq_len_multiple_of

@@ -87,6 +87,7 @@ class Trainer:
         warmup_steps: int = 0,
         val_batches: Optional[Iterator[np.ndarray]] = None,
         validate_every: int = 500,
+        val_fraction: Optional[float] = None,
     ):
         """``param_sharding``: layout for params/EMA/optimizer state on the
         mesh — 'tp' (Megatron rules over the ``model`` axis, replicated when
@@ -148,14 +149,27 @@ class Trainer:
 
             if dataset is None:
                 assert folder is not None, "provide folder, dataset or batches"
-                dataset = SoundDataset(
-                    folder,
+                ds_kwargs = dict(
                     max_length=data_max_length,
                     target_sample_hz=target_hz,
                     seq_len_multiple_of=self.ns2.codec.seq_len_multiple_of
                     if self.ns2.codec is not None
                     else None,
                 )
+                dataset = SoundDataset(
+                    folder,
+                    split="train" if val_fraction else None,
+                    val_fraction=val_fraction or 0.05,
+                    **ds_kwargs,
+                )
+                if val_fraction and self.val_batches is None:
+                    val_ds = SoundDataset(
+                        folder, split="val", val_fraction=val_fraction,
+                        **ds_kwargs,
+                    )
+                    self.val_batches = data_loader(
+                        val_ds, train_batch_size, seed=seed + 1
+                    )
             self.batches = data_loader(
                 dataset, train_batch_size * grad_accum_every, seed=seed
             )
