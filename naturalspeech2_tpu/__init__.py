@@ -37,6 +37,7 @@ from naturalspeech2_tpu.models.encodec import Encodec
 from naturalspeech2_tpu.trainer import Trainer
 from naturalspeech2_tpu.codec_trainer import CodecTrainer
 from naturalspeech2_tpu.distill import ProgressiveDistiller
+from naturalspeech2_tpu.serve import TTSEngine, TTSServer
 from naturalspeech2_tpu.utils.tokenizer import Tokenizer
 from naturalspeech2_tpu.utils.phonemizers.espeak_wrapper import ESpeak
 
