@@ -274,13 +274,18 @@ def cmd_sample(args) -> int:
     else:
         kwargs["batch_size"] = args.batch
 
+    length = args.length
+    if args.seconds is not None:
+        hop = ns2.codec.seq_len_multiple_of if ns2.codec is not None else 320
+        length = int(round(args.seconds * ns2.sample_hz / hop))
+
     out_dir = Path(args.out)
     out_dir.mkdir(parents=True, exist_ok=True)
     audio = sample(
         ns2,
         variables,
         jax.random.PRNGKey(args.seed),
-        length=args.length,
+        length=length,
         timesteps=args.timesteps,
         **kwargs,
     )
@@ -498,6 +503,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out", default="./samples")
     s.add_argument("--length", type=int, default=1024,
                    help="latent frames (320 samples each at 24 kHz)")
+    s.add_argument("--seconds", type=float, default=None,
+                   help="output duration (overrides --length)")
     s.add_argument("--timesteps", type=int, default=None)
     s.add_argument("--sampler", choices=("ddim", "ddpm", "dpmpp"),
                    default=None,
