@@ -198,13 +198,20 @@ def forward_with_cond_scale(
     prompt_mask: Optional[jax.Array] = None,
     cond: Optional[jax.Array] = None,
     cond_scale: float = 1.0,
+    cfg_rescale: float = 0.0,
     x_self_cond: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Classifier-free-guided forward (ref :914-927), fused:
 
     ``null + (cond − null)·scale`` computed from ONE batch-doubled forward
     (conditioned half ‖ null half) instead of two sequential net evals.
-    """
+
+    ``cfg_rescale`` φ ∈ [0, 1] applies the std-matching rescale of
+    Lin et al. 2023 ("Common Diffusion Noise Schedules and Sample Steps
+    are Flawed", eq. 15): high guidance scales inflate the per-sample std
+    of the guided prediction, which over-saturates output; the fix scales
+    the guided output back to the conditioned branch's std and blends by
+    φ. φ=0 (default) is the reference's plain CFG."""
     b = x.shape[0]
     if times.ndim == 0:
         times = jnp.broadcast_to(times, (b,))
@@ -229,4 +236,11 @@ def forward_with_cond_scale(
         cond_drop_mask=drop, x_self_cond=dbl(x_self_cond),
     )
     logits, null_logits = out[:b], out[b:]
-    return null_logits + (logits - null_logits) * cond_scale
+    guided = null_logits + (logits - null_logits) * cond_scale
+    if cfg_rescale > 0.0:
+        dims = tuple(range(1, guided.ndim))
+        std_cond = jnp.std(logits, axis=dims, keepdims=True)
+        std_guided = jnp.std(guided, axis=dims, keepdims=True)
+        rescaled = guided * (std_cond / jnp.maximum(std_guided, 1e-8))
+        guided = cfg_rescale * rescaled + (1.0 - cfg_rescale) * guided
+    return guided

@@ -708,6 +708,7 @@ def sample(
     text_lens: Optional[jax.Array] = None,
     batch_size: int = 1,
     cond_scale: float = 1.0,
+    cfg_rescale: float = 0.0,
     timesteps: Optional[int] = None,
     pitch: Optional[jax.Array] = None,
     duration: Optional[jax.Array] = None,
@@ -741,7 +742,7 @@ def sample(
         return forward_with_cond_scale(
             ns2.model, model_vars, audio, times,
             prompt=prompt_enc, cond=cond, cond_scale=cond_scale,
-            x_self_cond=x_self_cond,
+            cfg_rescale=cfg_rescale, x_self_cond=x_self_cond,
         )
 
     name = ns2.sampler or ("ddim" if ns2.use_ddim else "ddpm")

@@ -90,6 +90,7 @@ class TTSEngine:
     frame_buckets: Sequence[int] = (256, 512, 1024)
     prompt_samples: int = 32768
     cond_scale: float = 2.5
+    cfg_rescale: float = 0.0
     timesteps: Optional[int] = 100
     max_batch: int = 4
     batch_window_ms: float = 8.0
@@ -180,7 +181,7 @@ class TTSEngine:
                 return self._sample(
                     ns2, variables, rng, length=f_bucket, prompt=prompt,
                     text=text, text_lens=text_lens, cond_scale=cond_scale,
-                    timesteps=timesteps,
+                    cfg_rescale=self.cfg_rescale, timesteps=timesteps,
                 )
 
             self._jitted[key] = jax.jit(run)
