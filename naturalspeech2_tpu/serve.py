@@ -379,6 +379,43 @@ class TTSEngine:
                 out = np.concatenate([out, nxt])
         return out, self._sr
 
+    def tts_long_stream(
+        self,
+        text: str,
+        prompt_audio: np.ndarray,
+        seed: int = 0,
+        crossfade_ms: float = 20.0,
+    ):
+        """Generator of float32 waveform chunks — the streaming form of
+        `tts_long`: each sentence chunk is emitted as soon as it is
+        synthesized (time-to-first-audio ≈ one chunk's latency instead of
+        the whole utterance), with the crossfade applied at boundaries by
+        holding back ``fade`` samples between chunks. Concatenating the
+        yields equals `tts_long`'s output for the same seeds."""
+        chunks = self._split_text(text)
+        fade = int(self._sr * crossfade_ms / 1e3)
+        held: Optional[np.ndarray] = None
+        for i, c in enumerate(chunks):
+            wav = self.tts(c, prompt_audio, seed=seed + i)[0]
+            if held is not None:
+                f = min(fade, len(held), len(wav))
+                if f > 0:
+                    r = np.sin(np.linspace(0, np.pi / 2, f, dtype=np.float32))
+                    mixed = held[-f:] * np.flip(r) + wav[:f] * r
+                    yield np.concatenate([held[:-f], mixed])
+                    wav = wav[f:]
+                elif len(held):
+                    yield held
+            if i < len(chunks) - 1:
+                k = min(fade, len(wav))
+                held, emit = wav[len(wav) - k:], wav[: len(wav) - k]
+            else:
+                held, emit = None, wav
+            if len(emit):
+                yield emit
+        if held is not None and len(held):
+            yield held
+
     def _split_text(self, text: str) -> list:
         """Sentence-boundary split, greedily re-packed so every chunk fits
         the largest text bucket (token count measured with the real
@@ -503,9 +540,47 @@ class TTSServer(ThreadingHTTPServer):
         return self.server_address[1]
 
 
+def _wav_stream_header(sample_rate: int) -> bytes:
+    """WAV header with unknown (maximal) length — for chunked streaming."""
+    import struct
+
+    return (
+        b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", 0xFFFFFFFF)
+    )
+
+
 class _Handler(BaseHTTPRequestHandler):
+    # HTTP/1.1 for Transfer-Encoding: chunked (every non-streaming response
+    # sets Content-Length, so keep-alive stays correct)
+    protocol_version = "HTTP/1.1"
+
     def log_message(self, *args):  # quiet
         pass
+
+    def _stream_tts(self, engine, text, prompt, seed):
+        """Chunked audio/wav: each sentence chunk is flushed as soon as it
+        is synthesized — time-to-first-audio ≈ one chunk's latency."""
+        gen = engine.tts_long_stream(text, np.asarray(prompt), seed=seed)
+        first = next(gen)  # synthesize before headers so errors still 400
+        self.send_response(200)
+        self.send_header("Content-Type", "audio/wav")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def chunk(b: bytes):
+            self.wfile.write(f"{len(b):X}\r\n".encode() + b + b"\r\n")
+
+        def pcm(wav):
+            return (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+        chunk(_wav_stream_header(engine._sr))
+        chunk(pcm(first))
+        for wav in gen:
+            chunk(pcm(wav))
+        self.wfile.write(b"0\r\n\r\n")
 
     def _json(self, code: int, obj):
         body = json.dumps(obj).encode()
@@ -550,6 +625,10 @@ class _Handler(BaseHTTPRequestHandler):
             else:
                 raise KeyError("prompt_wav_base64 or prompt_path required")
             engine = self.server.engine
+            if req.get("stream"):
+                return self._stream_tts(
+                    engine, text, prompt, int(req.get("seed", 0))
+                )
             n_tokens = np.asarray(
                 engine.ns2.tokenizer.texts_to_tensor_ids([text])
             ).shape[1]

@@ -176,6 +176,46 @@ def test_tts_long_sentence_chunking(engine):
     assert wav.shape[0] > 320
 
 
+def test_stream_equals_batch_long_form(engine):
+    """Concatenated tts_long_stream chunks == tts_long output (same seeds)."""
+    text = "hello there. " * 6
+    prompt = np.sin(np.linspace(0, 40, 960)).astype(np.float32)
+    whole, _ = engine.tts_long(text, prompt, seed=5, crossfade_ms=10.0)
+    streamed = np.concatenate(
+        list(engine.tts_long_stream(text, prompt, seed=5, crossfade_ms=10.0))
+    )
+    np.testing.assert_allclose(streamed, whole, atol=1e-5)
+
+
+def test_http_streaming_tts(engine):
+    """POST /tts with stream:true → chunked audio/wav (header + PCM16)."""
+    server = TTSServer(engine)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        prompt = np.sin(np.linspace(0, 40, 960)).astype(np.float32)
+        req = urllib.request.Request(
+            f"{base}/tts",
+            data=json.dumps({
+                "text": "hello there. " * 4,
+                "prompt_wav_base64": base64.b64encode(
+                    _wav_bytes(prompt, 24000)
+                ).decode(),
+                "stream": True,
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            body = r.read()  # urllib reassembles the chunked stream
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        pcm = np.frombuffer(body[44:], dtype="<i2")
+        assert pcm.size > 320 and np.isfinite(pcm.astype(np.float32)).all()
+    finally:
+        server.shutdown()
+
+
 def test_http_server_roundtrip(engine):
     server = TTSServer(engine)
     t = threading.Thread(target=server.serve_forever, daemon=True)
