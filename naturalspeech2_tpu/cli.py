@@ -271,6 +271,7 @@ def cmd_sample(args) -> int:
         )
         kwargs["text"] = texts
         kwargs["cond_scale"] = args.cond_scale
+        kwargs["cfg_rescale"] = args.cfg_rescale
     else:
         kwargs["batch_size"] = args.batch
 
@@ -517,6 +518,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--prompt", default=None,
                    help="(conditional) prompt wav for voice conditioning")
     s.add_argument("--cond-scale", type=float, default=3.0)
+    s.add_argument("--cfg-rescale", type=float, default=0.0,
+                   help="std-matching CFG rescale phi in [0,1]")
     s.set_defaults(fn=cmd_sample)
 
     v = sub.add_parser("serve", help="HTTP TTS endpoint")
