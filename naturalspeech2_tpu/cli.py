@@ -288,6 +288,7 @@ def cmd_sample(args) -> int:
         jax.random.PRNGKey(args.seed),
         length=length,
         timesteps=args.timesteps,
+        dtype=jnp.bfloat16 if args.bf16 else None,
         **kwargs,
     )
     audio = np.asarray(audio)
@@ -348,6 +349,7 @@ def cmd_serve(args) -> int:
             timesteps=args.timesteps,
             cond_scale=args.cond_scale,
             tp=args.tp,
+            dtype="bfloat16" if args.bf16 else None,
         )
     if not args.no_warmup:
         print("compiling serving buckets...", flush=True)
@@ -520,6 +522,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--cond-scale", type=float, default=3.0)
     s.add_argument("--cfg-rescale", type=float, default=0.0,
                    help="std-matching CFG rescale phi in [0,1]")
+    s.add_argument("--bf16", action="store_true",
+                   help="run the denoiser scan in bfloat16 (memory-bound "
+                        "sampling fast path; schedule math stays f32)")
     s.set_defaults(fn=cmd_sample)
 
     v = sub.add_parser("serve", help="HTTP TTS endpoint")
@@ -535,6 +540,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="compile buckets lazily on first request")
     v.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel serving over N chips (latency mode)")
+    v.add_argument("--bf16", action="store_true",
+                   help="run the denoiser scan in bfloat16 (memory-bound "
+                        "sampling fast path; schedule math stays f32)")
     v.set_defaults(fn=cmd_serve)
 
     n = sub.add_parser("info", help="model summary for a config")

@@ -95,6 +95,7 @@ class TTSEngine:
     max_batch: int = 4
     batch_window_ms: float = 8.0
     mesh: Optional[object] = None  # jax.sharding.Mesh: multi-chip TP serving
+    dtype: Optional[str] = None    # "bfloat16": denoiser scan in bf16
     _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     def __post_init__(self):
@@ -176,12 +177,14 @@ class TTSEngine:
         key = (t_bucket, f_bucket)
         if key not in self._jitted:
             ns2, cond_scale, timesteps = self.ns2, self.cond_scale, self.timesteps
+            sample_dtype = jnp.dtype(self.dtype) if self.dtype else None
 
             def run(variables, prompt, text, text_lens, rng):
                 return self._sample(
                     ns2, variables, rng, length=f_bucket, prompt=prompt,
                     text=text, text_lens=text_lens, cond_scale=cond_scale,
                     cfg_rescale=self.cfg_rescale, timesteps=timesteps,
+                    dtype=sample_dtype,
                 )
 
             self._jitted[key] = jax.jit(run)

@@ -131,6 +131,26 @@ def test_ddim_deterministic_given_key(ns2_and_vars):
     np.testing.assert_allclose(np.asarray(a1), np.asarray(a2))
 
 
+def test_sample_bf16_close_to_f32(ns2_and_vars):
+    """`sample(dtype=bf16)` (denoiser scan in bfloat16, schedule math and
+    codec decode in f32) must track the f32 waveform closely — the per-step
+    f32 update re-anchors the bf16 network output, so the outputs should
+    correlate strongly and share shape/finiteness."""
+    ns2, variables = ns2_and_vars
+    a32 = np.asarray(
+        sample(ns2, variables, jax.random.PRNGKey(11), length=4, batch_size=2)
+    )
+    a16 = np.asarray(
+        sample(ns2, variables, jax.random.PRNGKey(11), length=4, batch_size=2,
+               dtype=jnp.bfloat16)
+    )
+    assert a16.shape == a32.shape
+    assert a16.dtype == np.float32  # decode path stays f32
+    assert np.isfinite(a16).all()
+    corr = np.corrcoef(a16.ravel(), a32.ravel())[0, 1]
+    assert corr > 0.98, corr
+
+
 def test_cfg_batched_equals_two_pass():
     """The batch-doubled CFG forward must equal two separate forwards."""
     model = Model(

@@ -21,7 +21,7 @@ import naturalspeech2_tpu as ns
 from naturalspeech2_tpu.serve import TTSEngine, TTSServer, _wav_bytes
 
 
-def _build_tiny_engine(mesh=None):
+def _build_tiny_engine(mesh=None, dtype=None):
     codec = ns.SoundStream(
         codebook_dim=16, channels=4, num_quantizers=2, codebook_size=16,
         use_pallas_rvq=False,
@@ -63,7 +63,7 @@ def _build_tiny_engine(mesh=None):
         ns2, {"params": params},
         text_buckets=(16, 32), frame_buckets=(8, 16),
         prompt_samples=640, timesteps=2, cond_scale=1.0,
-        mesh=mesh,
+        mesh=mesh, dtype=dtype,
     )
 
 
@@ -109,6 +109,22 @@ def test_engine_buckets_and_tts(engine):
 
     with pytest.raises(ValueError, match="bucket"):
         engine.tts("x " * 200, prompt)  # text exceeds the largest bucket
+
+
+def test_bf16_engine_matches_f32(engine):
+    """`TTSEngine(dtype="bfloat16")` (denoiser scan in bf16) must serve
+    finite audio that closely tracks the f32 engine's waveform for the
+    same request + seed (schedule math and codec decode stay f32)."""
+    bf16_engine = _build_tiny_engine(dtype="bfloat16")
+    prompt = np.sin(np.linspace(0, 40, 960)).astype(np.float32)
+    secs = 8 * 320 / 24000
+    w32, _ = engine.tts("hello", prompt, seconds=secs, seed=3)
+    w16, sr = bf16_engine.tts("hello", prompt, seconds=secs, seed=3)
+    assert sr == 24000
+    assert w16.shape == w32.shape
+    assert np.isfinite(w16).all()
+    corr = np.corrcoef(w16.ravel(), w32.ravel())[0, 1]
+    assert corr > 0.98, corr
 
 
 def test_auto_length_uses_duration_predictor(engine):
