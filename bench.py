@@ -229,11 +229,13 @@ def measure_train_throughput(repeats=3, dispatch_k=8, batch=16, seconds=2.0):
     return dispatch_k / best
 
 
-def measure_conditional_rtf(repeats=2):
+def measure_conditional_rtf(repeats=2, bf16=False):
     """README config 2 end-to-end: full conditioning stack (prompt encoder,
     phoneme encoder, duration/pitch, aligner) + 100-step batch-doubled CFG
     sampling + codec decode. Returns generated-audio-seconds / wall-second
-    (RTF) at steady state."""
+    (RTF) at steady state. ``bf16=True`` is the serving fast path
+    (`sample(dtype=bfloat16)`: denoiser scan in bf16, schedule math,
+    conditioning and codec decode in f32 — TTSEngine's ``--bf16``)."""
     from naturalspeech2_tpu import Model, NaturalSpeech2, SoundStream, sample
 
     codec = SoundStream()
@@ -261,6 +263,7 @@ def measure_conditional_rtf(repeats=2):
     f = jax.jit(lambda v, k: sample(
         ns2, v, k, length=512, prompt=prompt, text=text, text_lens=text_lens,
         cond_scale=3.0, timesteps=100,
+        dtype=jnp.bfloat16 if bf16 else None,
     ))
     out = f(variables, jax.random.PRNGKey(3))
     float(out.sum())  # compile + sync
@@ -294,6 +297,7 @@ def main():
     # full matrix (VERDICT r2 #5): every headline README number measured by
     # the driver-run bench, one JSON line, single source of truth
     cond_rtf = _optional(lambda: measure_conditional_rtf())
+    cond_rtf_bf16 = _optional(lambda: measure_conditional_rtf(bf16=True))
     scaled = _optional(
         lambda: measure_sampling_config(512, 12, 16, 1024, 100)
     )
@@ -320,6 +324,7 @@ def main():
                 "bf16_steps_per_sec": round(bf16_steps_per_sec, 2),
                 "cpu_baseline_steps_per_sec": round(cpu_steps_per_sec, 4),
                 "conditional_pipeline_rtf": rnd(cond_rtf, 1),
+                "conditional_pipeline_rtf_bf16": rnd(cond_rtf_bf16, 1),
                 "scaled_dim512_step_ms": rnd(None if scaled is None else scaled[0]),
                 "scaled_dim512_rtf": rnd(None if scaled is None else scaled[1], 1),
                 "scaled_dim512_bf16_step_ms": rnd(
