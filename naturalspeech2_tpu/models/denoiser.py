@@ -162,6 +162,15 @@ class Model(nn.Module):
             cond = pad_or_curtail_to_length(cond, x.shape[1], axis=1)
             x = x + cond
 
+        # keep the conditioning in the compute dtype: `times` arrives f32
+        # (schedule math), so the time MLP promotes to f32 even under bf16
+        # params — without this cast its FiLM modulation re-promotes every
+        # block's activations and the bf16 path only streams bf16 weights
+        # while the MXU still multiplies f32 (ADVICE r3)
+        t = t.astype(x.dtype)
+        if c is not None:
+            c = c.astype(x.dtype)
+
         wavenet_cls = FusedWavenet if self.use_fused_wavenet else Wavenet
         x = wavenet_cls(
             dim=self.dim,

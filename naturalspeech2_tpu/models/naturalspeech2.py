@@ -723,9 +723,10 @@ def sample(
     progressive-distillation-style schedules).
 
     ``dtype=jnp.bfloat16`` runs the denoiser scan — the dominant cost, one
-    full network forward per step — in bfloat16 (params, latents and cond
-    tensors cast once at program start), while the schedule arithmetic,
-    x̂₀ reconstruction, conditioning stack and codec decode stay float32.
+    full network forward per step — in bfloat16 (params and cond tensors
+    cast once at program start; the latent is cast per step inside the
+    scan, fused by XLA), while the schedule arithmetic, x̂₀ reconstruction,
+    conditioning stack and codec decode stay float32.
     Sampling is memory-bandwidth-bound on TPU, so halving the bytes the MXU
     streams per step buys throughput at negligible quality cost (the
     per-step f32 update re-anchors the bf16 network output each step)."""

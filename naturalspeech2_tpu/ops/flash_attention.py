@@ -10,10 +10,10 @@ Layout: q/k/v are ``[b, h, n, d]``. The grid is
 sequentially on TPU, so the running max / normalizer / accumulator live in
 VMEM scratch across kv-block steps (the canonical Mosaic flash pattern).
 
-Backward: custom_vjp recomputes standard attention in XLA (O(n²) only inside
-the backward, which XLA fuses well at these lengths). A fully-blockwise
-Pallas backward is a later optimization; the sampling loop — the headline
-benchmark — is forward-only.
+Backward: custom_vjp with fully-blockwise Pallas dq/dkv kernels (below,
+`_flash_bwd_dq_kernel` / `_flash_bwd_dkv_kernel`): O(seq) memory like the
+forward, recomputing the row-softmax from the saved logsumexp per tile and
+regenerating the dropout mask in-kernel from the same threefry counters.
 """
 
 from __future__ import annotations

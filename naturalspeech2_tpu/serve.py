@@ -106,6 +106,19 @@ class TTSEngine:
         # observability ring buffer: (wall_seconds, bucket) per request
         self._latencies: list = []
         self._requests = 0
+        if self.dtype:
+            # cast the denoiser params ONCE at engine init: `sample(dtype=)`
+            # casts inside the jitted program, which would otherwise hold
+            # both the f32 inputs and a bf16 copy live per dispatch
+            # (transient ~1.5× param HBM in serving — ADVICE r3). With the
+            # leaves already bf16, sample()'s in-program cast is a no-op.
+            dt = jnp.dtype(self.dtype)
+            params = dict(self.variables["params"])
+            params["model"] = jax.tree_util.tree_map(
+                lambda p: p.astype(dt) if p.dtype == jnp.float32 else p,
+                params["model"],
+            )
+            self.variables = {**self.variables, "params": params}
         if self.mesh is not None:
             # latency-oriented multi-chip serving: Megatron-pattern tensor
             # parallelism over the mesh's ``model`` axis — params carry the
