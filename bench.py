@@ -229,13 +229,101 @@ def measure_train_throughput(repeats=3, dispatch_k=8, batch=16, seconds=2.0):
     return dispatch_k / best
 
 
-def measure_conditional_rtf(repeats=2, bf16=False):
+def flagship_flops_per_step():
+    """Useful (unpadded) matmul+conv FLOPs of ONE flagship denoiser forward,
+    counted on the structurally-identical XLA twin (the Pallas kernels pad
+    d 64→128, which would overcount; `utils/flops.py` walks the jaxpr
+    because XLA's cost_analysis reports ~0 through Pallas custom calls)."""
+    from naturalspeech2_tpu.models.denoiser import Model
+    from naturalspeech2_tpu.utils.flops import count_flops
+
+    twin = Model(dim=DIM, depth=DEPTH, heads=8, dim_head=64,
+                 use_flash_attn=False, use_fused_wavenet=False)
+    x = jnp.zeros((BATCH, LENGTH, DIM), jnp.float32)
+    times = jnp.zeros((BATCH,))
+    params = jax.eval_shape(lambda: twin.init(jax.random.PRNGKey(0), x, times))
+    params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), params
+    )
+    return count_flops(lambda p, a, t: twin.apply(p, a, t), params, x, times)
+
+
+def measure_conditional_train_throughput(repeats=2, dispatch_k=4, batch=16,
+                                         seconds=2.0, text_len=100,
+                                         prompt_samples=32768):
+    """Conditional TRAINING throughput (VERDICT r3 #1 — the reference's own
+    hot path, forward :1503-1684): full conditioning stack (prompt codec
+    encode + prompt/phoneme encoders, duration/pitch predictor, aligner
+    soft attention + MAS + CTC forward-sum, on-device pitch + mel) plus
+    diffusion grads, Adam, EMA — README config 2 at reference scale,
+    batch 16, 2-s crops, 100 text tokens, 1.4-s prompt. Chunked dispatch
+    like the unconditional leg. Returns optimizer steps/sec."""
+    import numpy as np
+
+    from naturalspeech2_tpu import Model, NaturalSpeech2, SoundStream, Trainer
+    from naturalspeech2_tpu.parallel.mesh import DATA_AXIS
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    codec = SoundStream()
+    model = Model(
+        dim=DIM, depth=DEPTH, heads=8, dim_head=64, scan_layers=True,
+        condition_on_prompt=True, dim_prompt=512, cond_drop_prob=0.25,
+    )
+    ns2 = NaturalSpeech2(model=model, codec=codec, timesteps=1000)
+
+    rng = np.random.RandomState(0)
+    samples = int(24000 * seconds) // 320 * 320
+
+    def batches():
+        while True:
+            yield {
+                "audio": rng.uniform(-1, 1, (batch, samples)).astype(np.float32),
+                "text": rng.randint(0, 150, (batch, text_len)).astype(np.int32),
+                "text_lens": np.full((batch,), text_len, np.int32),
+                "prompt": rng.uniform(
+                    -1, 1, (batch, prompt_samples)
+                ).astype(np.float32),
+            }
+
+    trainer = Trainer(
+        ns2, batches=batches(), train_batch_size=batch, grad_accum_every=1,
+        train_num_steps=dispatch_k * 1000,
+        results_folder="/tmp/ns2_bench_cond_train",
+        save_and_sample_every=10**9, steps_per_dispatch=dispatch_k,
+    )
+    state = trainer.init_state(next(trainer.batches))
+    step_fn = trainer.build_train_step()
+    bsh = NamedSharding(trainer.mesh, P(None, None, DATA_AXIS))
+
+    def chunk():
+        raws = [next(trainer.batches) for _ in range(dispatch_k)]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.reshape(x, (1, batch) + x.shape[1:])
+                                  for x in xs]), *raws
+        )
+        return jax.device_put(stacked, bsh)
+
+    state, metrics = step_fn(state, chunk(), jax.random.PRNGKey(0))
+    assert float(metrics["loss"]) > 0
+    best = float("inf")
+    for r in range(repeats):
+        c = chunk()
+        t0 = time.perf_counter()
+        state, metrics = step_fn(state, c, jax.random.PRNGKey(1 + r))
+        float(metrics["loss"])
+        best = min(best, time.perf_counter() - t0)
+    return dispatch_k / best
+
+
+def measure_conditional_rtf(repeats=2, bf16=False, cfg_interval=None):
     """README config 2 end-to-end: full conditioning stack (prompt encoder,
     phoneme encoder, duration/pitch, aligner) + 100-step batch-doubled CFG
     sampling + codec decode. Returns generated-audio-seconds / wall-second
     (RTF) at steady state. ``bf16=True`` is the serving fast path
     (`sample(dtype=bfloat16)`: denoiser scan in bf16, schedule math,
-    conditioning and codec decode in f32 — TTSEngine's ``--bf16``)."""
+    conditioning and codec decode in f32 — TTSEngine's ``--bf16``).
+    ``cfg_interval=(lo, hi)`` measures limited-interval CFG (guidance only
+    inside the noise interval — steps outside cost one forward)."""
     from naturalspeech2_tpu import Model, NaturalSpeech2, SoundStream, sample
 
     codec = SoundStream()
@@ -262,7 +350,7 @@ def measure_conditional_rtf(repeats=2, bf16=False):
 
     f = jax.jit(lambda v, k: sample(
         ns2, v, k, length=512, prompt=prompt, text=text, text_lens=text_lens,
-        cond_scale=3.0, timesteps=100,
+        cond_scale=3.0, timesteps=100, cfg_interval=cfg_interval,
         dtype=jnp.bfloat16 if bf16 else None,
     ))
     out = f(variables, jax.random.PRNGKey(3))
@@ -298,6 +386,9 @@ def main():
     # the driver-run bench, one JSON line, single source of truth
     cond_rtf = _optional(lambda: measure_conditional_rtf())
     cond_rtf_bf16 = _optional(lambda: measure_conditional_rtf(bf16=True))
+    cond_rtf_interval = _optional(
+        lambda: measure_conditional_rtf(cfg_interval=(0.1, 0.8))
+    )
     scaled = _optional(
         lambda: measure_sampling_config(512, 12, 16, 1024, 100)
     )
@@ -308,6 +399,19 @@ def main():
         lambda: measure_sampling_config(128, 6, 1, 4500, 50)
     )
     train_sps = _optional(lambda: measure_train_throughput())
+    cond_train_sps = _optional(
+        lambda: measure_conditional_train_throughput(), attempts=1
+    )
+    # MFU: useful matmul+conv FLOP/s of the flagship denoise step vs the
+    # v5e nominal bf16 peak (197 TF/s) and the chip's measured practical
+    # matmul ceiling (110 TF/s, DESIGN.md round-4 roofline)
+    try:
+        gf_step = flagship_flops_per_step()
+        achieved = gf_step * tpu_steps_per_sec
+        mfu_nominal = achieved / 197e12
+        mfu_measured = achieved / 110e12
+    except Exception:
+        achieved = mfu_nominal = mfu_measured = None
 
     rnd = lambda v, n=2: None if v is None else round(v, n)
     print(
@@ -325,6 +429,9 @@ def main():
                 "cpu_baseline_steps_per_sec": round(cpu_steps_per_sec, 4),
                 "conditional_pipeline_rtf": rnd(cond_rtf, 1),
                 "conditional_pipeline_rtf_bf16": rnd(cond_rtf_bf16, 1),
+                "conditional_pipeline_rtf_cfg_interval": rnd(
+                    cond_rtf_interval, 1
+                ),
                 "scaled_dim512_step_ms": rnd(None if scaled is None else scaled[0]),
                 "scaled_dim512_rtf": rnd(None if scaled is None else scaled[1], 1),
                 "scaled_dim512_bf16_step_ms": rnd(
@@ -332,6 +439,12 @@ def main():
                 ),
                 "longform_60s_rtf": rnd(None if longform is None else longform[1], 1),
                 "train_steps_per_sec_b16x2s": rnd(train_sps),
+                "conditional_train_steps_per_sec": rnd(cond_train_sps),
+                "flagship_achieved_tflops": rnd(
+                    None if achieved is None else achieved / 1e12, 1
+                ),
+                "flagship_mfu_vs_nominal_peak": rnd(mfu_nominal, 3),
+                "flagship_mfu_vs_measured_ceiling": rnd(mfu_measured, 3),
             }
         )
     )

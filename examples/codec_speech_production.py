@@ -243,6 +243,10 @@ def main():
     ap.add_argument("--log-every", type=int, default=500)
     ap.add_argument("--results", default="results_codec_speech")
     ap.add_argument("--eval-only", action="store_true")
+    # round-4 plateau-breaking recipe (VERDICT r3 #5): perceptual mel-L1
+    # reconstruction term + cosine LR decay on both optimizers
+    ap.add_argument("--mel-weight", type=float, default=0.0)
+    ap.add_argument("--lr-schedule", choices=["cosine"], default=None)
     args = ap.parse_args()
 
     codec = SoundStream(use_pallas_rvq=jax.default_backend() == "tpu")
@@ -254,6 +258,9 @@ def main():
         adversarial_warmup=args.warmup,
         disc_channels=32,
         results_folder=args.results,
+        mel_weight=args.mel_weight,
+        lr_schedule=args.lr_schedule,
+        decay_steps=args.steps if args.lr_schedule else None,
     )
 
     eval_rng = np.random.RandomState(10_000)

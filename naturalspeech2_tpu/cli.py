@@ -272,6 +272,8 @@ def cmd_sample(args) -> int:
         kwargs["text"] = texts
         kwargs["cond_scale"] = args.cond_scale
         kwargs["cfg_rescale"] = args.cfg_rescale
+        if args.cfg_interval is not None:
+            kwargs["cfg_interval"] = tuple(args.cfg_interval)
     else:
         kwargs["batch_size"] = args.batch
 
@@ -350,6 +352,8 @@ def cmd_serve(args) -> int:
             cond_scale=args.cond_scale,
             tp=args.tp,
             dtype="bfloat16" if args.bf16 else None,
+            cfg_interval=tuple(args.cfg_interval)
+            if args.cfg_interval is not None else None,
         )
     if not args.no_warmup:
         print("compiling serving buckets...", flush=True)
@@ -522,6 +526,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--cond-scale", type=float, default=3.0)
     s.add_argument("--cfg-rescale", type=float, default=0.0,
                    help="std-matching CFG rescale phi in [0,1]")
+    s.add_argument("--cfg-interval", type=float, nargs=2, default=None,
+                   metavar=("T_LO", "T_HI"),
+                   help="apply guidance only at diffusion times in "
+                        "[T_LO, T_HI] (limited-interval CFG: steps outside "
+                        "run one forward instead of the guided pair)")
     s.add_argument("--bf16", action="store_true",
                    help="run the denoiser scan in bfloat16 (memory-bound "
                         "sampling fast path; schedule math stays f32)")
@@ -543,6 +552,10 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--bf16", action="store_true",
                    help="run the denoiser scan in bfloat16 (memory-bound "
                         "sampling fast path; schedule math stays f32)")
+    v.add_argument("--cfg-interval", type=float, nargs=2, default=None,
+                   metavar=("T_LO", "T_HI"),
+                   help="limited-interval CFG: guidance only at diffusion "
+                        "times in [T_LO, T_HI]")
     v.set_defaults(fn=cmd_serve)
 
     n = sub.add_parser("info", help="model summary for a config")

@@ -54,6 +54,9 @@ class CodecTrainer:
         commitment_weight: float = 0.25,
         stft_weight: float = 1.0,
         wav_weight: float = 1.0,
+        mel_weight: float = 0.0,
+        lr_schedule: Optional[str] = None,
+        decay_steps: Optional[int] = None,
         adversarial_weight: float = 0.0,
         feature_weight: float = 3.0,
         adversarial_warmup: int = 0,
@@ -73,6 +76,11 @@ class CodecTrainer:
         self.commitment_weight = commitment_weight
         self.stft_weight = stft_weight
         self.wav_weight = wav_weight
+        # perceptually-weighted reconstruction: L1 on log-mel magnitudes
+        # (HiFi-GAN's mel loss; the MR-STFT terms are linear-frequency, so
+        # this re-weights fidelity toward the mel bands MCD measures).
+        # 0 disables (round-3 recipe); the production run uses ~15.
+        self.mel_weight = mel_weight
         self.adversarial_weight = adversarial_weight
         self.feature_weight = feature_weight
         self.adversarial_warmup = adversarial_warmup
@@ -88,6 +96,16 @@ class CodecTrainer:
         # batch". Prevents silent codebook collapse.
         self.dead_code_threshold = dead_code_threshold
         self.mesh = mesh if mesh is not None else make_mesh()
+        # cosine decay to 10% of peak over ``decay_steps`` on BOTH
+        # optimizers (round-3's plateau ran constant-lr to 50k; VERDICT #5)
+        assert lr_schedule in (None, "cosine"), lr_schedule
+        disc_lr_val = disc_lr if disc_lr is not None else lr
+        if lr_schedule == "cosine":
+            assert decay_steps, "lr_schedule='cosine' needs decay_steps"
+            lr = optax.cosine_decay_schedule(lr, decay_steps, alpha=0.1)
+            disc_lr_val = optax.cosine_decay_schedule(
+                disc_lr_val, decay_steps, alpha=0.1
+            )
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(max_grad_norm), optax.adam(lr)
         )
@@ -104,7 +122,7 @@ class CodecTrainer:
             )
             self.disc_optimizer = optax.chain(
                 optax.clip_by_global_norm(max_grad_norm),
-                optax.adam(disc_lr if disc_lr is not None else lr),
+                optax.adam(disc_lr_val),
             )
         self.results_folder = Path(results_folder)
         self.results_folder.mkdir(parents=True, exist_ok=True)
@@ -174,6 +192,19 @@ class CodecTrainer:
         metrics = {
             "loss": loss, "wav_l1": wav_l1, "stft": stft_l, "commit": commit,
         }
+        if self.mel_weight > 0.0:
+            from naturalspeech2_tpu.ops.mel import audio_to_mel
+
+            sr = getattr(self.codec, "target_sample_hz", 24000)
+            mel_kw = dict(sample_rate=sr, n_mels=80, n_fft=1024,
+                          win_length=1024, hop_length=256,
+                          f_max=sr / 2, log=False)
+            logmel = lambda a: jnp.log(
+                jnp.clip(audio_to_mel(a, **mel_kw), min=1e-5)
+            )
+            mel_l1 = jnp.abs(logmel(recon) - logmel(audio)).mean()
+            loss = loss + self.mel_weight * mel_l1
+            metrics.update({"mel_l1": mel_l1, "loss": loss})
         if self.discriminator is not None:
             from naturalspeech2_tpu.models.discriminator import (
                 feature_matching_loss,

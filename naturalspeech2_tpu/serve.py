@@ -91,6 +91,10 @@ class TTSEngine:
     prompt_samples: int = 32768
     cond_scale: float = 2.5
     cfg_rescale: float = 0.0
+    # (t_lo, t_hi): limited-interval CFG — guidance (the batch-doubled
+    # forward) only at diffusion times inside the interval; outside, one
+    # conditional forward. ~30% fewer denoiser FLOPs at (0.1, 0.8)/100 steps.
+    cfg_interval: Optional[Tuple[float, float]] = None
     timesteps: Optional[int] = 100
     max_batch: int = 4
     batch_window_ms: float = 8.0
@@ -196,7 +200,8 @@ class TTSEngine:
                 return self._sample(
                     ns2, variables, rng, length=f_bucket, prompt=prompt,
                     text=text, text_lens=text_lens, cond_scale=cond_scale,
-                    cfg_rescale=self.cfg_rescale, timesteps=timesteps,
+                    cfg_rescale=self.cfg_rescale,
+                    cfg_interval=self.cfg_interval, timesteps=timesteps,
                     dtype=sample_dtype,
                 )
 

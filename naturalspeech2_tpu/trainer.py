@@ -223,18 +223,23 @@ class Trainer:
         micro = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x[: self.train_batch_size]), example_batch
         )
+        # init under jit: ONE compiled program instead of thousands of
+        # eagerly-dispatched ops (measured 762 s eager vs ~1 min compiled
+        # for the full conditional model through the device tunnel)
         if isinstance(micro, dict):
             audio0 = micro["audio"]
             extra0 = {k: v for k, v in micro.items() if k != "audio"}
-            variables = self.ns2.init(rngs, audio0, **extra0)
+            variables = jax.jit(
+                lambda a, kw: self.ns2.init(rngs, a, **kw)
+            )(audio0, extra0)
         else:
             audio0 = micro
-            variables = self.ns2.init(rngs, micro)
+            variables = jax.jit(lambda a: self.ns2.init(rngs, a))(micro)
         params = variables["params"]
         # decoder params are only traced by sampling; make sure the codec has
         # its full parameter set so checkpoints are complete
         if self.ns2.codec is not None:
-            codec_full = self.ns2.codec.init(key, audio0)
+            codec_full = jax.jit(self.ns2.codec.init)(key, audio0)
             merged = dict(params)
             merged["codec"] = codec_full["params"]
             params = flax.core.freeze(merged) if isinstance(

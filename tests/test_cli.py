@@ -154,6 +154,7 @@ def test_conditional_sample_from_text_and_prompt(tmp_path, wav_folder):
     rc = cli.main([
         "sample", "--checkpoint", ckpt, "--config", str(cfg_path),
         "--out", str(out), "--length", "4", "--timesteps", "2",
+        "--cfg-interval", "0.1", "0.8",
         "--text", "hello world", "--prompt",
         str(sorted(wav_folder.glob("*.wav"))[0]),
     ])

@@ -319,3 +319,35 @@ def test_amp_bf16_training(tmp_path):
         leaf.dtype != jnp.bfloat16
         for leaf in jax.tree_util.tree_leaves(state.params)
     )
+
+
+def test_mel_loss_and_cosine_schedule(tmp_path):
+    """Round-4 recipe knobs: perceptual log-mel L1 term + cosine LR decay
+    on both optimizers (VERDICT r3 #5)."""
+    base = _tone_batch()
+
+    codec = SoundStream(
+        codebook_dim=16, channels=4, num_quantizers=2, codebook_size=16,
+        use_pallas_rvq=False,
+    )
+    trainer = CodecTrainer(
+        codec,
+        batches=iter(lambda: base, None),
+        lr=1e-3,
+        mel_weight=15.0,
+        lr_schedule="cosine",
+        decay_steps=100,
+        adversarial_weight=1.0,
+        adversarial_warmup=0,
+        disc_channels=4,
+        mesh=make_mesh(n_data=4, devices=jax.devices()[:4]),
+        results_folder=str(tmp_path),
+    )
+    state = trainer.init_state(base)
+    step_fn = jax.jit(trainer._train_step, donate_argnums=(0,))
+    state, metrics = step_fn(state, jnp.asarray(base))
+    assert "mel_l1" in metrics and np.isfinite(float(metrics["mel_l1"]))
+    # the mel term participates in the total
+    assert float(metrics["loss"]) >= 15.0 * float(metrics["mel_l1"]) - 1e-3
+    state, metrics2 = step_fn(state, jnp.asarray(base))
+    assert np.isfinite(float(metrics2["loss"]))
