@@ -130,6 +130,33 @@ def tts_batches(seed: int, batch: int, max_tokens: int = 8):
         }
 
 
+def tts_eval_batch(seed: int, batch: int, max_tokens: int = 8,
+                   hop: int = 320) -> dict:
+    """One batch WITH ground-truth per-token durations (in hop-length
+    frames, zero-padded to ``max_tokens``) — the quantitative-evaluation
+    side of the capstone: duration MAE needs the plan the training
+    batches discard."""
+    rng = np.random.RandomState(seed)
+    audio, prompts, texts, lens, durs = [], [], [], [], []
+    for _ in range(batch):
+        spk = synth_speaker(rng)
+        plan = plan_utterance(rng, spk)
+        audio.append(render_plan(plan, spk, rng))
+        prompts.append(render_plan(plan_utterance(rng, spk), spk, rng))
+        toks = plan_tokens(plan)[:max_tokens]
+        lens.append(len(toks))
+        texts.append(toks + [-1] * (max_tokens - len(toks)))
+        d = [n / hop for (_, _, _, n) in plan][:max_tokens]
+        durs.append(d + [0.0] * (max_tokens - len(d)))
+    return {
+        "audio": np.stack(audio),
+        "prompt": np.stack(prompts),
+        "text": np.asarray(texts, np.int32),
+        "text_lens": np.asarray(lens, np.int32),
+        "gt_durations": np.asarray(durs, np.float32),
+    }
+
+
 def prefetched(gen, depth: int = 32):
     import queue
     import threading

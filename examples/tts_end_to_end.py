@@ -21,6 +21,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 from pathlib import Path
@@ -56,6 +57,14 @@ def build_ns2(tiny: bool = False) -> NaturalSpeech2:
         model=model,
         codec=codec,
         timesteps=1000,
+        # deliberate divergence from the reference's hop-160 mel default:
+        # the reference's cond frames run at 2× the codec latent rate and
+        # get silently curtailed to the first `length` frames
+        # (naturalspeech2_pytorch.py:990 pad_or_curtail) — a timescale
+        # mismatch. hop 320 makes aligner/duration/pitch frames land 1:1
+        # on latent frames, so predicted durations are in latent frames
+        # and the expanded conditioning covers the whole utterance.
+        mel_hop_length=320,
         num_phoneme_tokens=VOCAB,
         duration_pitch_dim=128,
         aligner_dim_hidden=128,
@@ -71,6 +80,68 @@ def build_ns2(tiny: bool = False) -> NaturalSpeech2:
 def load_codec_params(path: str):
     payload = flax.serialization.msgpack_restore(Path(path).read_bytes())
     return payload["params"]
+
+
+def _cepstra(x: np.ndarray, n_mfc: int = 13) -> np.ndarray:
+    """[t, n_mfc] mel-cepstra (excl. c0) of one waveform."""
+    from scipy.fftpack import dct
+
+    from naturalspeech2_tpu.ops.mel import audio_to_mel
+
+    m = np.asarray(audio_to_mel(jnp.asarray(x)[None], n_mels=40))[0]  # [40, t] dB
+    logm = m / 10.0 * np.log(10.0)
+    return dct(logm.T, axis=1, norm="ortho")[:, 1:n_mfc + 1]
+
+
+def _dtw_path(cost: np.ndarray):
+    """Monotonic DTW path through a [t1, t2] frame-cost matrix."""
+    t1, t2 = cost.shape
+    acc = np.full((t1 + 1, t2 + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, t1 + 1):
+        for j in range(1, t2 + 1):
+            acc[i, j] = cost[i - 1, j - 1] + min(
+                acc[i - 1, j], acc[i, j - 1], acc[i - 1, j - 1]
+            )
+    path = []
+    i, j = t1, t2
+    while i > 0 and j > 0:
+        path.append((i - 1, j - 1))
+        k = int(np.argmin([acc[i - 1, j - 1], acc[i - 1, j], acc[i, j - 1]]))
+        if k == 0:
+            i, j = i - 1, j - 1
+        elif k == 1:
+            i -= 1
+        else:
+            j -= 1
+    return path[::-1]
+
+
+def mcd_dtw_db(ref: np.ndarray, est: np.ndarray) -> float:
+    """DTW-aligned mel-cepstral distortion (dB) — the standard TTS metric:
+    generated and ground-truth durations differ (the model predicts its
+    own timing), so frames are aligned by DTW over cepstra first."""
+    c_r, c_e = _cepstra(ref), _cepstra(est)
+    cost = np.sqrt(
+        ((c_r[:, None, :] - c_e[None, :, :]) ** 2).sum(-1)
+    )
+    path = _dtw_path(cost)
+    d = np.array([cost[i, j] for i, j in path])
+    return float((10.0 / np.log(10.0)) * np.sqrt(2.0) * d.mean())
+
+
+def mel_l1_dtw(ref: np.ndarray, est: np.ndarray) -> float:
+    """Mean |Δ| of 40-band log-mel (dB) along the DTW path."""
+    from naturalspeech2_tpu.ops.mel import audio_to_mel
+
+    m_r = np.asarray(audio_to_mel(jnp.asarray(ref)[None], n_mels=40))[0].T
+    m_e = np.asarray(audio_to_mel(jnp.asarray(est)[None], n_mels=40))[0].T
+    c_r, c_e = _cepstra(ref), _cepstra(est)
+    cost = np.sqrt(((c_r[:, None, :] - c_e[None, :, :]) ** 2).sum(-1))
+    path = _dtw_path(cost)
+    return float(
+        np.mean([np.abs(m_r[i] - m_e[j]).mean() for i, j in path])
+    )
 
 
 def main():
@@ -121,11 +192,20 @@ def main():
     dt = time.time() - t0
     print(f"trained to step {int(trainer.state.step)} in {dt:.0f}s", flush=True)
 
-    # final artifact: unseen speaker prompt + fixed token string
-    test = next(tts_batches(seed=777, batch=4))
+    # ------------------------------------------------------------------ #
+    # quantitative evaluation (VERDICT r3 #6): unseen speakers + texts,
+    # metrics vs the synthesizer's ground-truth rendering of the SAME
+    # (tokens, speaker): duration MAE, DTW-aligned mel-cepstral distortion
+    # with a mismatched-pair control, mel-spectral L1
+    # ------------------------------------------------------------------ #
+    from synthetic_tts_data import tts_eval_batch  # noqa: E402
+
+    n_eval = 4 if args.tiny else 16
+    test = tts_eval_batch(seed=777, batch=n_eval, hop=320)
+    variables = {"params": trainer.state.ema_params}
     out = sample(
         ns2,
-        {"params": trainer.state.ema_params},
+        variables,
         jax.random.PRNGKey(0),
         length=30,
         prompt=jnp.asarray(test["prompt"]),
@@ -134,10 +214,54 @@ def main():
         cond_scale=2.0,
         timesteps=args.timesteps,
     )
+    out_np = np.asarray(out)
+
+    # predicted durations (latent frames at hop 320 — build_ns2 pins
+    # mel_hop_length=320 so predictor units == latent frames)
+    _, _, dur_pred = ns2.apply(
+        variables, jnp.asarray(test["prompt"]), jnp.asarray(test["text"]),
+        jnp.asarray(test["text_lens"]), 30,
+        method=ns2.conditioning_for_sample,
+    )
+    dur_pred = np.asarray(dur_pred)
+    tok_mask = test["text"] >= 0
+    dur_mae_frames = float(
+        np.abs(dur_pred - test["gt_durations"])[tok_mask].mean()
+    )
+
+    mcd_matched = [
+        mcd_dtw_db(test["audio"][i], out_np[i]) for i in range(n_eval)
+    ]
+    # control: same generated audio scored against OTHER utterances'
+    # ground truth — if the model ignores the text, matched ≈ mismatched
+    mcd_mismatched = [
+        mcd_dtw_db(test["audio"][(i + 1) % n_eval], out_np[i])
+        for i in range(n_eval)
+    ]
+    mel_l1 = [
+        mel_l1_dtw(test["audio"][i], out_np[i]) for i in range(n_eval)
+    ]
+
+    metrics = {
+        "steps": int(trainer.state.step),
+        "train_wall_s": round(dt, 1),
+        "n_eval": n_eval,
+        "duration_mae_frames": round(dur_mae_frames, 3),
+        "duration_mae_ms": round(dur_mae_frames * 320 / 24000 * 1e3, 1),
+        "mcd_dtw_db_matched": round(float(np.mean(mcd_matched)), 3),
+        "mcd_dtw_db_mismatched_control": round(
+            float(np.mean(mcd_mismatched)), 3
+        ),
+        "mel_l1_dtw_db": round(float(np.mean(mel_l1)), 3),
+    }
+    print("METRICS " + json.dumps(metrics), flush=True)
+    Path(args.results, "tts_e2e_metrics.json").write_text(
+        json.dumps(metrics, indent=1)
+    )
+
     audio_dir = Path(__file__).resolve().parents[1] / "docs" / "audio"
     audio_dir.mkdir(parents=True, exist_ok=True)
-    out_np = np.asarray(out)
-    for i in range(out_np.shape[0]):
+    for i in range(min(4, n_eval)):
         write_wav(
             str(audio_dir / f"tts_e2e_{i}.wav"),
             np.clip(out_np[i], -1, 1), 24000,
@@ -145,7 +269,7 @@ def main():
         write_wav(
             str(audio_dir / f"tts_ref_{i}.wav"), test["audio"][i], 24000,
         )
-    print(f"tokens: {test['text'].tolist()}")
+    print(f"tokens: {test['text'][:4].tolist()}")
     print(f"artifacts → {audio_dir}", flush=True)
 
 
