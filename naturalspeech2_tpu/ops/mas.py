@@ -18,12 +18,20 @@ import jax.numpy as jnp
 NEG = -1e9
 
 
-def maximum_path(value: jax.Array, mask: jax.Array) -> jax.Array:
+def maximum_path(
+    value: jax.Array, mask: jax.Array, *, unroll: int = 8
+) -> jax.Array:
     """Best monotonic phoneme→frame path.
 
     value: ``[b, t_x, t_y]`` alignment scores (phoneme i at frame j),
     mask: same shape, 1 inside (text_len × mel_len). Returns a 0/1 path of
     the same shape where each valid frame is assigned exactly one phoneme.
+
+    ``unroll`` unrolls the sequential frame scans: each loop iteration of a
+    TPU `lax.scan` carries fixed while-loop overhead that dwarfs the
+    [b, t_x] VPU work of one DP step, so fusing ``unroll`` steps per
+    iteration amortizes it (measured on the conditional-train probe; the
+    math is iteration-order-identical).
     """
     value = value * mask
     b, t_x, t_y = value.shape
@@ -42,23 +50,30 @@ def maximum_path(value: jax.Array, mask: jax.Array) -> jax.Array:
         forward,
         jnp.zeros((b, t_x), jnp.float32),
         (value.transpose(2, 0, 1), jnp.arange(t_y, dtype=jnp.float32)),
+        unroll=unroll,
     )  # direction: [t_y, b, t_x] bool (True = stay)
 
     direction = jnp.where(
         mask.transpose(2, 0, 1) > 0, direction, True
     ).astype(jnp.int32)
 
-    # backtrack from the last phoneme (text_len − 1) over frames t_y−1 … 0
+    # backtrack from the last phoneme (text_len − 1) over frames t_y−1 … 0.
+    # The scan only carries/emits the [b] phoneme index; the one-hot path
+    # tensor is built vectorized afterwards (cheaper per sequential step
+    # than emitting [b, t_x] one-hot rows from inside the loop).
     index0 = mask[:, :, 0].sum(axis=1).astype(jnp.int32) - 1  # [b]
     batch_range = jnp.arange(b)
 
     def backward(index, direction_j):
-        row = jax.nn.one_hot(index, t_x, dtype=value.dtype)  # [b, t_x]
         step = direction_j[batch_range, index]  # 1 = stay, 0 = advance
-        return index + step - 1, row
+        return index + step - 1, index
 
-    _, rows = jax.lax.scan(backward, index0, direction, reverse=True)
-    path = rows.transpose(1, 2, 0)  # [b, t_x, t_y]
+    _, idx = jax.lax.scan(
+        backward, index0, direction, reverse=True, unroll=unroll
+    )  # idx: [t_y, b]
+    path = (
+        idx.T[:, None, :] == jnp.arange(t_x, dtype=jnp.int32)[None, :, None]
+    ).astype(value.dtype)  # [b, t_x, t_y]
     return path * mask.astype(path.dtype)
 
 
