@@ -135,34 +135,62 @@ def main():
     t_cond = timeit(cond_only, params, audio, text, text_lens, prompt)
     print(f"conditioning+aux only:  {t_cond*1e3:.1f} ms")
 
-    # isolated hot ops at the in-step shapes
+    # isolated hot ops at the in-step shapes. Per DESIGN.md's methodology,
+    # one dispatch through the axon tunnel costs 30-100 ms — far more than
+    # any of these ops — so each op is chained N times ON-DEVICE inside one
+    # jit (fori_loop whose input depends on the iteration index, defeating
+    # CSE/LICM) and we report wall/N.
     from naturalspeech2_tpu.ops.mas import maximum_path
     from naturalspeech2_tpu.ops.mel import audio_to_mel
     from naturalspeech2_tpu.ops.pitch import compute_pitch
     from naturalspeech2_tpu.models.aligner import ForwardSumLoss
 
+    def timeit_op(op, x, n=50, repeats=3):
+        @jax.jit
+        def run(x):
+            def body(i, acc):
+                return acc + op(x * (1.0 + i.astype(x.dtype) * 1e-9)).sum()
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((), x.dtype))
+
+        float(np.asarray(run(x)))  # compile + first run
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(np.asarray(run(x)))
+            best = min(best, time.perf_counter() - t0)
+        return best / n
+
     frames = samples // 160
     value = jax.random.normal(jax.random.PRNGKey(3), (BATCH, TEXT_LEN, frames))
     mask = jnp.ones((BATCH, TEXT_LEN, frames))
-    t_mas = timeit(jax.jit(maximum_path), value, mask)
-    print(f"MAS alone [b16,{TEXT_LEN}x{frames}]: {t_mas*1e3:.1f} ms")
+    for unroll in (1, 2, 4, 8):
+        t_mas = timeit_op(
+            lambda v, u=unroll: maximum_path(v, mask, unroll=u), value
+        )
+        print(f"MAS alone [b16,{TEXT_LEN}x{frames}] unroll={unroll}: "
+              f"{t_mas*1e3:.2f} ms", flush=True)
 
     logp = jax.nn.log_softmax(
-        jax.random.normal(jax.random.PRNGKey(4), (BATCH, TEXT_LEN, frames)), 1
+        jax.random.normal(
+            jax.random.PRNGKey(4), (BATCH, 1, frames, TEXT_LEN)
+        ), -1
     )
     fsl = ForwardSumLoss()
-    ctc = jax.jit(lambda lp: fsl.apply({}, lp, text_lens,
-                                       jnp.full((BATCH,), frames)))
-    t_ctc = timeit(ctc, logp)
-    print(f"CTC fwd-sum alone:      {t_ctc*1e3:.1f} ms")
+    q_lens = jnp.full((BATCH,), frames)
+    t_ctc = timeit_op(lambda lp: fsl.apply({}, lp, text_lens, q_lens), logp)
+    print(f"CTC fwd-sum alone:      {t_ctc*1e3:.2f} ms", flush=True)
 
-    t_pitch = timeit(jax.jit(lambda a: compute_pitch(
-        a, sample_rate=SR, hop_length=160)), audio)
-    print(f"pitch (ACF) alone:      {t_pitch*1e3:.1f} ms")
+    t_pitch = timeit_op(
+        lambda a: compute_pitch(a, sample_rate=SR, hop_length=160), audio
+    )
+    print(f"pitch (ACF) alone:      {t_pitch*1e3:.2f} ms", flush=True)
 
-    t_mel = timeit(jax.jit(lambda a: audio_to_mel(
-        a, sample_rate=SR, n_mels=80, hop_length=160)), audio)
-    print(f"mel alone:              {t_mel*1e3:.1f} ms")
+    t_mel = timeit_op(
+        lambda a: audio_to_mel(a, sample_rate=SR, n_mels=80, hop_length=160),
+        audio,
+    )
+    print(f"mel alone:              {t_mel*1e3:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":
