@@ -73,6 +73,10 @@ def build_ns2(tiny: bool = False) -> NaturalSpeech2:
         prompt_enc_kwargs=dict(dims=(256, 128), depth=d or 2, heads=4),
         duration_pitch_kwargs=dict(
             dim_encoded_prompts=128, dim_hidden=128, depth=d or 3, heads=4,
+            # the reference's ReLU head goes permanently dead under the L1
+            # loss (observed: 20k steps with duration_pred ≡ 0); softplus
+            # keeps the non-negative contract and a live gradient
+            head_activation="softplus",
         ),
     )
 

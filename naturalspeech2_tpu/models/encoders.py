@@ -171,6 +171,13 @@ class DurationPitchPredictorTrunk(nn.Module):
     num_convs_per_resnet_block: int = 2
     num_convolutions_per_block: int = 3
     use_flash_attn: bool = False
+    # "relu" reproduces the reference head exactly (:466) but has a dead
+    # zone: once the pre-activation goes negative everywhere the gradient
+    # is exactly 0 and the predictor can never recover (the reference never
+    # trains this head — its aux loss is dropped, :1671 — so it never
+    # hits the trap). "softplus" is the trainable non-negative alternative;
+    # no parameters change, only the activation.
+    head_activation: str = "relu"
 
     @nn.compact
     def __call__(
@@ -208,6 +215,8 @@ class DurationPitchPredictorTrunk(nn.Module):
               deterministic=deterministic) + x
 
         x = nn.Dense(1, name="to_pred")(x)[..., 0]
+        if self.head_activation == "softplus":
+            return jax.nn.softplus(x)
         return nn.relu(x)
 
 
@@ -229,6 +238,7 @@ class DurationPitchPredictor(nn.Module):
     dim_hidden: int = 512
     dropout: float = 0.2
     use_flash_attn: bool = False
+    head_activation: str = "relu"  # see DurationPitchPredictorTrunk
 
     @nn.compact
     def __call__(
@@ -253,6 +263,7 @@ class DurationPitchPredictor(nn.Module):
             num_convs_per_resnet_block=self.num_convs_per_resnet_block,
             num_convolutions_per_block=self.num_convolutions_per_block,
             use_flash_attn=self.use_flash_attn,
+            head_activation=self.head_activation,
         )
         duration = DurationPitchPredictorTrunk(**kwargs, name="to_duration_pred")(
             x, encoded_prompts, prompt_mask, deterministic=deterministic

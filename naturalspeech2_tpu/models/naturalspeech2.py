@@ -90,6 +90,17 @@ class NaturalSpeech2(nn.Module):
     # for imported reference checkpoints (utils/torch_import.py) to give
     # reference outputs. True opts into masked self-attention.
     mask_phoneme_encoder: bool = False
+    # The reference's duration/pitch L1 losses average over EVERY phoneme
+    # slot including padding (`F.l1_loss(aln_hard, duration_pred)` :1587,
+    # :1590 — no text_mask applied). Because padded targets are 0, that
+    # gradient pushes the shared conv trunk toward 0 everywhere and — with
+    # the reference's ReLU head (:466) — can permanently kill the predictor
+    # (observed: 20k steps with duration_pred ≡ 0 and the loss frozen at
+    # mean(aln_hard)). The reference never notices because it also drops
+    # aux_loss from the returned total (:1671/:1684). Default True masks
+    # both losses to real phoneme positions; False reproduces the
+    # reference's unmasked mean exactly (used by the golden parity tests).
+    mask_duration_pitch_loss: bool = True
     # size overrides for the conditional submodules (test-scale / ablations);
     # defaults reproduce the reference's hardcoded 512-dim stacks
     phoneme_enc_kwargs: Optional[dict] = None
@@ -436,8 +447,16 @@ class NaturalSpeech2(nn.Module):
             phoneme_enc, aln_mask.astype(phoneme_enc.dtype), pitch_phon
         )
 
-        duration_loss = jnp.abs(aln_hard - duration_pred).mean()
-        pitch_loss = jnp.abs(pitch_phon[:, 0] - pitch_pred).mean()
+        if self.mask_duration_pitch_loss:
+            tmask = text_mask.astype(duration_pred.dtype)
+            denom = jnp.maximum(tmask.sum(), 1.0)
+            duration_loss = (jnp.abs(aln_hard - duration_pred) * tmask).sum() / denom
+            pitch_loss = (
+                jnp.abs(pitch_phon[:, 0] - pitch_pred) * tmask
+            ).sum() / denom
+        else:  # reference :1587/:1590 — unmasked mean over padding too
+            duration_loss = jnp.abs(aln_hard - duration_pred).mean()
+            pitch_loss = jnp.abs(pitch_phon[:, 0] - pitch_pred).mean()
         align_loss = self.aligner_loss(aln_log, text_lens, mel_lens)
         if self.aligner_bin_loss_weight > 0.0:
             align_loss = align_loss + (

@@ -19,7 +19,7 @@ KEY = jax.random.PRNGKey(0)
 DIM = 16
 
 
-def cond_ns2():
+def cond_ns2(**over):
     codec = SoundStream(
         codebook_dim=DIM, channels=4, num_quantizers=2, codebook_size=16,
         use_pallas_rvq=False,
@@ -42,6 +42,7 @@ def cond_ns2():
                                use_flash_attn=False),
         duration_pitch_kwargs=dict(dim_hidden=24, depth=1, heads=2, dim_head=8,
                                    dim_encoded_prompts=24),
+        **over,
     )
 
 
@@ -141,3 +142,29 @@ def test_singing_pitch_and_duration_override(cond_setup):
     assert out_forced.shape == out_pred.shape
     assert np.isfinite(np.asarray(out_forced)).all()
     assert not np.allclose(np.asarray(out_forced), np.asarray(out_pred))
+
+
+def test_masked_duration_pitch_loss(cond_setup):
+    """mask_duration_pitch_loss=True must ignore padded phoneme slots: with
+    no padding it equals the reference's unmasked mean exactly; with padding
+    the two diverge (regression for the dead-ReLU predictor collapse — the
+    unmasked loss trains the head toward the 0-targets of padding)."""
+    ns2, variables, audio, prompt, text, text_lens = cond_setup
+    ns2_unmasked = cond_ns2(mask_duration_pitch_loss=False)
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(
+        ("times", "noise", "cfg", "dropout"))}
+
+    full_lens = jnp.array([5, 5])  # no padding → masked == unmasked
+    lm = ns2.apply(variables, audio, text=text, text_lens=full_lens,
+                   prompt=prompt, rngs=rngs)
+    lu = ns2_unmasked.apply(variables, audio, text=text, text_lens=full_lens,
+                            prompt=prompt, rngs=rngs)
+    np.testing.assert_allclose(float(lm["duration"]), float(lu["duration"]), rtol=1e-6)
+    np.testing.assert_allclose(float(lm["pitch"]), float(lu["pitch"]), rtol=1e-6)
+
+    lens = jnp.array([5, 2])  # padding present → losses must differ
+    lm = ns2.apply(variables, audio, text=text, text_lens=lens,
+                   prompt=prompt, rngs=rngs)
+    lu = ns2_unmasked.apply(variables, audio, text=text, text_lens=lens,
+                            prompt=prompt, rngs=rngs)
+    assert not np.isclose(float(lm["duration"]), float(lu["duration"]))
