@@ -148,6 +148,25 @@ def mel_l1_dtw(ref: np.ndarray, est: np.ndarray) -> float:
     )
 
 
+def f0_mae_dtw_hz(ref: np.ndarray, est: np.ndarray) -> float:
+    """Mean |ΔF0| (Hz) along the cepstral DTW path over frames voiced in
+    BOTH signals — prosody accuracy of the pitch predictor + diffusion."""
+    from naturalspeech2_tpu.ops.pitch import compute_pitch
+
+    f_r = np.asarray(compute_pitch(jnp.asarray(ref)[None], sample_rate=24000,
+                                   hop_length=320))[0]
+    f_e = np.asarray(compute_pitch(jnp.asarray(est)[None], sample_rate=24000,
+                                   hop_length=320))[0]
+    c_r, c_e = _cepstra(ref), _cepstra(est)
+    cost = np.sqrt(((c_r[:, None, :] - c_e[None, :, :]) ** 2).sum(-1))
+    path = _dtw_path(cost)
+    diffs = [
+        abs(f_r[i] - f_e[j]) for i, j in path
+        if i < len(f_r) and j < len(f_e) and f_r[i] > 0 and f_e[j] > 0
+    ]
+    return float(np.mean(diffs)) if diffs else float("nan")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--codec", required=True)
@@ -159,6 +178,9 @@ def main():
                     help="sampling steps for the final artifact")
     ap.add_argument("--tiny", action="store_true",
                     help="plumbing smoke-test scale (CPU-friendly)")
+    ap.add_argument("--eval-only", default=None, metavar="CKPT",
+                    help="skip training: load this trainer checkpoint and "
+                         "run the evaluation block only")
     args = ap.parse_args()
 
     ns2 = build_ns2(tiny=args.tiny)
@@ -191,10 +213,17 @@ def main():
     trainer.state = trainer._shard_state(trainer.state)
     print(f"codec grafted from {args.codec}", flush=True)
 
-    t0 = time.time()
-    trainer.train(log_every=200)
-    dt = time.time() - t0
-    print(f"trained to step {int(trainer.state.step)} in {dt:.0f}s", flush=True)
+    if args.eval_only:
+        trainer.load(args.eval_only)
+        dt = 0.0
+        print(f"eval-only: loaded {args.eval_only} "
+              f"(step {int(trainer.state.step)})", flush=True)
+    else:
+        t0 = time.time()
+        trainer.train(log_every=200)
+        dt = time.time() - t0
+        print(f"trained to step {int(trainer.state.step)} in {dt:.0f}s",
+              flush=True)
 
     # ------------------------------------------------------------------ #
     # quantitative evaluation (VERDICT r3 #6): unseen speakers + texts,
@@ -245,6 +274,10 @@ def main():
     mel_l1 = [
         mel_l1_dtw(test["audio"][i], out_np[i]) for i in range(n_eval)
     ]
+    f0_mae = [
+        f0_mae_dtw_hz(test["audio"][i], out_np[i]) for i in range(n_eval)
+    ]
+    f0_mae = [v for v in f0_mae if np.isfinite(v)]
 
     metrics = {
         "steps": int(trainer.state.step),
@@ -257,6 +290,7 @@ def main():
             float(np.mean(mcd_mismatched)), 3
         ),
         "mel_l1_dtw_db": round(float(np.mean(mel_l1)), 3),
+        "f0_mae_dtw_hz": round(float(np.mean(f0_mae)), 1) if f0_mae else None,
     }
     print("METRICS " + json.dumps(metrics), flush=True)
     Path(args.results, "tts_e2e_metrics.json").write_text(
