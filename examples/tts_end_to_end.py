@@ -150,13 +150,15 @@ def mel_l1_dtw(ref: np.ndarray, est: np.ndarray) -> float:
 
 def f0_mae_dtw_hz(ref: np.ndarray, est: np.ndarray) -> float:
     """Mean |ΔF0| (Hz) along the cepstral DTW path over frames voiced in
-    BOTH signals — prosody accuracy of the pitch predictor + diffusion."""
+    BOTH signals — prosody accuracy of the pitch predictor + diffusion.
+    F0 runs at hop 160 to match `_cepstra`'s frame rate (audio_to_mel
+    default) so the DTW path indexes both tracks on the same timescale."""
     from naturalspeech2_tpu.ops.pitch import compute_pitch
 
     f_r = np.asarray(compute_pitch(jnp.asarray(ref)[None], sample_rate=24000,
-                                   hop_length=320))[0]
+                                   hop_length=160))[0]
     f_e = np.asarray(compute_pitch(jnp.asarray(est)[None], sample_rate=24000,
-                                   hop_length=320))[0]
+                                   hop_length=160))[0]
     c_r, c_e = _cepstra(ref), _cepstra(est)
     cost = np.sqrt(((c_r[:, None, :] - c_e[None, :, :]) ** 2).sum(-1))
     path = _dtw_path(cost)

@@ -136,6 +136,30 @@ class Trainer:
         self.validate_every = validate_every
         self._jit_eval = None
 
+        # Training a conditional model with the reference's ReLU prediction
+        # head is a known trap (PARITY defect #12): once the pre-activation
+        # goes negative at every position, the masked L1's gradient is
+        # exactly 0 and the duration/pitch predictor never recovers
+        # (observed: 20k steps with duration_pred ≡ 0). The head stays
+        # "relu" by default for imported-checkpoint parity, so warn loudly
+        # when it is about to be TRAINED.
+        if self.ns2.conditional:
+            head = (self.ns2.duration_pitch_kwargs or {}).get(
+                "head_activation", "relu"
+            )
+            if head == "relu":
+                import warnings
+
+                warnings.warn(
+                    "duration/pitch predictor head_activation='relu' (the "
+                    "reference default) can go permanently dead under the "
+                    "L1 loss — pass duration_pitch_kwargs="
+                    "dict(head_activation='softplus') for a trainable head "
+                    "(PARITY.md defect #12).",
+                    UserWarning,
+                    stacklevel=2,
+                )
+
         target_hz = self.ns2.sample_hz
         if data_max_length is None and data_max_length_seconds is not None:
             data_max_length = int(data_max_length_seconds * target_hz)

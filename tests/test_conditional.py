@@ -30,7 +30,7 @@ def cond_ns2(**over):
         condition_on_prompt=True, dim_prompt=24, num_latents_m=4,
         resampler_depth=1, cond_drop_prob=0.25,
     )
-    return NaturalSpeech2(
+    kwargs = dict(
         model=model, codec=codec, timesteps=4,
         num_phoneme_tokens=20,
         duration_pitch_dim=24,
@@ -42,8 +42,9 @@ def cond_ns2(**over):
                                use_flash_attn=False),
         duration_pitch_kwargs=dict(dim_hidden=24, depth=1, heads=2, dim_head=8,
                                    dim_encoded_prompts=24),
-        **over,
     )
+    kwargs.update(over)
+    return NaturalSpeech2(**kwargs)
 
 
 @pytest.fixture(scope="module")
@@ -168,3 +169,82 @@ def test_masked_duration_pitch_loss(cond_setup):
     lu = ns2_unmasked.apply(variables, audio, text=text, text_lens=lens,
                             prompt=prompt, rngs=rngs)
     assert not np.isclose(float(lm["duration"]), float(lu["duration"]))
+
+
+def test_pitch_space_log_commensurate(cond_setup):
+    """pitch_space='log' (default) regresses log1p(F0): on voiced audio
+    (~200 Hz tone) the raw-Hz loss is O(100) at init while the log-space
+    loss is O(log1p(200)) ≈ 5 — the fix for the round-4 capstone failure
+    where the Hz-scale pitch gradient was ~99% of the total."""
+    ns2, variables, _, prompt, text, text_lens = cond_setup
+    ns2_hz = cond_ns2(pitch_space="hz")
+    t = np.arange(4 * 320) / 24000.0
+    tone = (0.5 * np.sin(2 * np.pi * 200.0 * t)).astype(np.float32)
+    audio = jnp.asarray(np.stack([tone, tone]))
+    rngs = {k: jax.random.PRNGKey(i) for i, k in enumerate(
+        ("times", "noise", "cfg", "dropout"))}
+    l_log = ns2.apply(variables, audio, text=text, text_lens=text_lens,
+                      prompt=prompt, rngs=rngs)
+    l_hz = ns2_hz.apply(variables, audio, text=text, text_lens=text_lens,
+                        prompt=prompt, rngs=rngs)
+    assert float(l_hz["pitch"]) > 50.0, float(l_hz["pitch"])
+    assert float(l_log["pitch"]) < 10.0, float(l_log["pitch"])
+    # same targets, just a different regression space: the log loss must
+    # be ≈ log-compressed, not merely reweighted
+    assert float(l_hz["pitch"]) > 10 * float(l_log["pitch"])
+
+
+def test_pitch_space_log_sampling_converts_back(cond_setup):
+    """conditioning_for_sample must map the log-space prediction back to
+    Hz (expm1) before the f0_to_coarse conditioning embed: force the pitch
+    trunk to output a constant c and check the Hz-override path with
+    pitch=expm1(c) reproduces the predictor path exactly."""
+    ns2, variables, _, prompt, text, text_lens = cond_setup
+    c = 5.0  # log1p-space constant → expm1(c) ≈ 147.4 Hz
+    params = jax.tree_util.tree_map(lambda x: x, variables["params"])
+    trunk = params["duration_pitch"]["to_pitch_pred"]["to_pred"]
+    trunk["kernel"] = jnp.zeros_like(trunk["kernel"])
+    trunk["bias"] = jnp.full_like(trunk["bias"], c)
+    v = {"params": params}
+    _, cond_pred, dur = ns2.apply(
+        v, prompt, text, text_lens, 8, method=ns2.conditioning_for_sample)
+    pitch_hz = jnp.full(text.shape, float(jnp.expm1(c)))
+    _, cond_forced, _ = ns2.apply(
+        v, prompt, text, text_lens, 8, pitch=pitch_hz,
+        method=ns2.conditioning_for_sample)
+    np.testing.assert_allclose(
+        np.asarray(cond_pred), np.asarray(cond_forced), rtol=1e-5)
+    assert np.isfinite(np.asarray(dur)).all()
+
+
+def test_trainer_warns_on_relu_head():
+    """Trainer must warn when about to train a conditional model whose
+    duration/pitch head is the reference's dead-zone-prone ReLU (PARITY
+    defect #12) and stay silent for softplus."""
+    import warnings
+
+    from naturalspeech2_tpu.trainer import Trainer
+
+    def batches():
+        while True:
+            yield {
+                "audio": np.zeros((8, 4 * 320), np.float32),
+                "text": np.zeros((8, 5), np.int32),
+                "text_lens": np.full((8,), 5, np.int32),
+                "prompt": np.zeros((8, 2 * 320), np.float32),
+            }
+
+    def make(**over):
+        return Trainer(
+            cond_ns2(**over), batches=batches(), train_batch_size=8,
+            grad_accum_every=1, train_num_steps=1,
+            results_folder="/tmp/ns2_test_warn", save_and_sample_every=10**9,
+        )
+
+    with pytest.warns(UserWarning, match="head_activation"):
+        make()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        make(duration_pitch_kwargs=dict(
+            dim_hidden=24, depth=1, heads=2, dim_head=8,
+            dim_encoded_prompts=24, head_activation="softplus"))

@@ -83,6 +83,7 @@ def pair():
         pitch_emb_dim=256, pitch_emb_pp_hidden_dim=64,
         aligner_bin_loss_weight=0.0,
         mask_duration_pitch_loss=False,  # reference's unmasked L1 (:1587/:1590)
+        pitch_space="hz",  # reference's raw-Hz L1 (:1590)
         phoneme_enc_kwargs=dict(
             dim=48, dim_hidden=64, kernel_size=5, depth=2, dim_head=16,
             heads=2, conv_dropout=0.0, attn_dropout=0.0, use_flash=False,
