@@ -65,6 +65,12 @@ def build_ns2(tiny: bool = False) -> NaturalSpeech2:
         # on latent frames, so predicted durations are in latent frames
         # and the expanded conditioning covers the whole utterance.
         mel_hop_length=320,
+        # mask padded tokens out of the phoneme encoder's self-attention
+        # (the reference leaves them attending, :1539) and sharpen the soft
+        # alignment toward the MAS hard path (RAD-TTS bin loss) so the
+        # duration targets track real syllable boundaries
+        mask_phoneme_encoder=True,
+        aligner_bin_loss_weight=0.1,
         num_phoneme_tokens=VOCAB,
         duration_pitch_dim=128,
         aligner_dim_hidden=128,

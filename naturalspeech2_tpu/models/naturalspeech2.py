@@ -516,7 +516,19 @@ class NaturalSpeech2(nn.Module):
         from the prompt. Returns (prompt_enc, cond, duration)."""
         prompt_latents = self.process_prompt(prompt)
         prompt_enc = self.prompt_enc(prompt_latents, deterministic=True)
-        phoneme_enc = self.phoneme_enc(text, deterministic=True)
+        # mirror the TRAINING-side encoder masking exactly: a model trained
+        # with mask_phoneme_encoder=True must also sample with the padded
+        # positions masked out of self-attention
+        text_mask = None
+        if self.mask_phoneme_encoder and text_lens is not None:
+            from naturalspeech2_tpu.utils.helpers import create_mask
+
+            text_mask = create_mask(
+                jnp.minimum(text_lens, text.shape[-1]), text.shape[-1]
+            )
+        phoneme_enc = self.phoneme_enc(
+            text, mask=text_mask, deterministic=True
+        )
 
         duration_pred, pitch_pred = self.duration_pitch(
             phoneme_enc, prompt_enc, deterministic=True
