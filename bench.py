@@ -1,7 +1,20 @@
 """Benchmark: DDPM/DDIM denoise steps/sec/chip at the reference's canonical
 config (Model dim=128, depth=6, batch 4, 1024 latent frames — README.md:43-68).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints a cumulative JSON line after EVERY completed leg (the driver parses
+the LAST line, so a wedged tunnel or one slow remote compile can no longer
+forfeit the whole run — VERDICT r4 #1: BENCH_r04 was rc=124/parsed=null).
+Un-losable by construction:
+
+- a subprocess tunnel-health probe with a hard deadline runs FIRST; if the
+  tiny jit doesn't come back, the bench emits ``{"tunnel": "wedged", ...}``
+  plus a live CPU baseline and exits 0 instead of hanging to rc=124;
+- legs run headline-first (flagship f32 → CFG → bf16 → CPU baseline, then
+  the expensive matrix) inside daemon threads with per-leg wall budgets;
+- a leg that exceeds its budget is recorded as null + reason; because a
+  stuck device call cannot be interrupted (and poisons every later TPU
+  dispatch), the bench then prints the final cumulative line and exits 0
+  with everything measured so far.
 
 Methodology: the denoise loop is a jitted `lax.scan` of K full denoiser
 forwards (the exact per-step cost of `ddim_sample`); timing syncs by pulling
@@ -114,18 +127,6 @@ def _retry(fn, attempts=2):
         except Exception as e:  # compile service through the tunnel is flaky
             last = e
     raise last
-
-
-def _optional(fn, attempts=2):
-    """Secondary matrix legs: retry, then record None rather than zeroing
-    the whole bench on one flaky remote compile."""
-    try:
-        return _retry(fn, attempts)
-    except Exception as e:
-        import sys
-
-        print(f"bench leg failed: {e!r}", file=sys.stderr)
-        return None
 
 
 def measure_sampling_config(dim, depth, batch, length, n_steps, *, bf16=False,
@@ -364,90 +365,276 @@ def measure_conditional_rtf(repeats=2, bf16=False, cfg_interval=None):
     return (out.shape[0] * out.shape[1] / 24000) / best
 
 
-def main():
-    # 200-step chains: real sampling runs 100-1000 steps in ONE scan, so
-    # the per-dispatch tunnel latency (~25 ms) must be amortized to noise
-    # (at 50 steps it inflated the per-step cost by ~0.5 ms)
-    tpu_steps_per_sec = _retry(lambda: measure("tpu", n_steps=200, repeats=3))
-    cfg_steps_per_sec = _retry(
-        lambda: measure("tpu", n_steps=200, repeats=3, cfg=True)
+def measure_serving(n_requests=4):
+    """Serving leg (VERDICT r4 #8): end-to-end `TTSEngine.tts` — host text
+    frontend → bucketed jitted 100-step CFG sampling → codec decode — at
+    README config 2, ONE warmed (64-token, 512-frame) bucket. Returns
+    (p50 latency seconds, realtime factor audio-s/wall-s) over sequential
+    single requests (the batched-throughput number stays in
+    examples/serve_throughput.py)."""
+    import numpy as np
+
+    from naturalspeech2_tpu import Model, NaturalSpeech2, SoundStream
+    from naturalspeech2_tpu.serve import TTSEngine
+    from naturalspeech2_tpu.utils.tokenizer import Tokenizer
+
+    tokenizer = Tokenizer()
+    codec = SoundStream()
+    model = Model(
+        dim=128, depth=6, dim_prompt=512, cond_drop_prob=0.25,
+        condition_on_prompt=True,
     )
-    bf16_steps_per_sec = _retry(
-        lambda: measure("tpu", n_steps=200, repeats=3, bf16=True)
+    ns2 = NaturalSpeech2(
+        model=model, codec=codec, timesteps=1000, tokenizer=tokenizer,
+        num_phoneme_tokens=tokenizer.vocab_size,
+    )
+    key = jax.random.PRNGKey(0)
+    audio = jax.random.uniform(key, (1, 98304), minval=-1, maxval=1)
+    prompt = jax.random.uniform(key, (1, 32768), minval=-1, maxval=1)
+    text = jax.random.randint(key, (1, 64), 0, 100)
+    rngs = {n: key for n in ("params", "times", "noise", "cfg", "dropout")}
+    variables = ns2.init(rngs, audio, text=text, prompt=prompt)
+    codec_full = codec.init(key, audio[:, :3200])
+    params = dict(variables["params"])
+    params["codec"] = codec_full["params"]
+    engine = TTSEngine(
+        ns2=ns2, variables={"params": params},
+        text_buckets=(64,), frame_buckets=(512,), timesteps=100,
+    )
+    engine.warmup([(64, 512)])
+    prompt_np = np.asarray(prompt[0])
+    sentence = "speech synthesis on tensor processing units runs fast."
+    walls, audio_s = [], 0.0
+    for i in range(n_requests):
+        t0 = time.perf_counter()
+        wav, sr = engine.tts(sentence, prompt_np, seconds=6.8, seed=i)
+        walls.append(time.perf_counter() - t0)
+        audio_s += len(wav) / sr
+    walls.sort()
+    p50 = walls[len(walls) // 2]
+    return p50, audio_s / sum(walls)
+
+
+# ------------------------------------------------------------------------- #
+# un-losable orchestration
+# ------------------------------------------------------------------------- #
+
+RESULT = {
+    # per-step denoiser cost is identical for DDPM and DDIM (one forward +
+    # elementwise update); labelled per BASELINE.json's metric
+    "metric": "DDPM denoise steps/sec/chip (dim128/depth6, b4xn1024)",
+    "value": None,
+    "unit": "steps/sec",
+    "vs_baseline": None,
+}
+_T0 = time.time()
+
+
+def _emit():
+    print(json.dumps(RESULT), flush=True)
+
+
+def probe_tunnel(deadline_s=150.0):
+    """Tiny jitted matmul on the default backend in a SUBPROCESS with a hard
+    deadline — the only reliable way to detect a wedged device tunnel
+    (in-process, a stuck dispatch blocks in C++ and no signal interrupts
+    it). Inherits the driver's env (JAX_PLATFORMS/PYTHONPATH)."""
+    import os
+    import subprocess
+    import sys
+
+    plats = os.environ.get("JAX_PLATFORMS", "")
+    if plats and "tpu" not in plats and "axon" not in plats:
+        return True  # CPU-forced run: no tunnel to probe (plugin init is slow)
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((256, 256));"
+        "print(float(jnp.sum(x @ x)))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=deadline_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def run_leg(name, fn, budget_s, *, store, fatal_on_timeout=True, attempts=1):
+    """Run one leg in a daemon thread under a wall budget. On success,
+    ``store(result)`` mutates RESULT; either way a cumulative JSON line is
+    printed (last line wins at parse time). A TPU leg that blows its budget
+    is unrecoverable in-process (the stuck dispatch serializes every later
+    device call behind it), so ``fatal_on_timeout`` prints the final line
+    and exits 0 with everything measured so far."""
+    import os
+    import sys
+    import threading
+
+    elapsed = time.time() - _T0
+    remaining = GLOBAL_BUDGET_S - elapsed
+    if remaining < min(45.0, budget_s * 0.5):
+        RESULT[f"skipped_{name}"] = (
+            f"global budget exhausted ({elapsed:.0f}s elapsed)"
+        )
+        _emit()
+        return False
+    box = {}
+
+    def work():
+        try:
+            box["val"] = _retry(fn, attempts)
+        except Exception as e:  # noqa: BLE001 — recorded, bench continues
+            box["err"] = repr(e)[:300]
+
+    th = threading.Thread(target=work, daemon=True)
+    t0 = time.time()
+    th.start()
+    th.join(min(budget_s, remaining))
+    if th.is_alive():
+        RESULT[f"skipped_{name}"] = (
+            f"leg exceeded {min(budget_s, remaining):.0f}s budget"
+        )
+        _emit()
+        if fatal_on_timeout:
+            RESULT["tunnel"] = "wedged-mid-bench"
+            _emit()
+            sys.stdout.flush()
+            os._exit(0)
+        return False
+    if "err" in box:
+        RESULT[f"failed_{name}"] = box["err"]
+        _emit()
+        return False
+    store(box["val"])
+    RESULT.setdefault("leg_seconds", {})[name] = round(time.time() - t0, 1)
+    _emit()
+    return True
+
+
+GLOBAL_BUDGET_S = float(__import__("os").environ.get("NS2_BENCH_BUDGET_S", 1500))
+
+
+def main():
+    rnd = lambda v, n=2: None if v is None else round(v, n)
+
+    # 0. tunnel health — never hang to rc=124 (VERDICT r4 #1)
+    if not probe_tunnel():
+        RESULT["tunnel"] = "wedged"
+        _emit()
+        run_leg(
+            "cpu_baseline", lambda: measure("cpu", n_steps=2, repeats=2),
+            240, store=lambda v: RESULT.update(
+                cpu_baseline_steps_per_sec=rnd(v, 4)
+            ),
+            fatal_on_timeout=False,
+        )
+        _emit()
+        return
+    RESULT["tunnel"] = "ok"
+
+    # 1. headline legs, most important first. 200-step chains: real sampling
+    # runs 100-1000 steps in ONE scan, so the per-dispatch tunnel latency
+    # (~25 ms) must be amortized to noise.
+    run_leg(
+        "flagship", lambda: measure("tpu", n_steps=200, repeats=3), 420,
+        store=lambda v: RESULT.update(value=rnd(v)), attempts=2,
+    )
+    run_leg(
+        "cfg", lambda: measure("tpu", n_steps=200, repeats=3, cfg=True), 300,
+        store=lambda v: RESULT.update(cfg_batch_doubled_steps_per_sec=rnd(v)),
+    )
+    run_leg(
+        "bf16", lambda: measure("tpu", n_steps=200, repeats=3, bf16=True),
+        300,
+        store=lambda v: RESULT.update(bf16_steps_per_sec=rnd(v)),
     )
     # live CPU baseline of the identical architecture — the north-star's
-    # "CPU-reference sampling throughput". No silent fallback: if this
-    # cannot run, the benchmark result would be meaningless, so fail loudly.
-    cpu_steps_per_sec = measure("cpu", n_steps=2, repeats=2)
-
-    vs_baseline = tpu_steps_per_sec / cpu_steps_per_sec
-
-    # full matrix (VERDICT r2 #5): every headline README number measured by
-    # the driver-run bench, one JSON line, single source of truth
-    cond_rtf = _optional(lambda: measure_conditional_rtf())
-    cond_rtf_bf16 = _optional(lambda: measure_conditional_rtf(bf16=True))
-    cond_rtf_interval = _optional(
-        lambda: measure_conditional_rtf(cfg_interval=(0.1, 0.8))
+    # "CPU-reference sampling throughput" (reference publishes no numbers
+    # and its torch deps aren't installed; BASELINE.md). Not fatal: a slow
+    # host shouldn't forfeit the TPU matrix.
+    run_leg(
+        "cpu_baseline", lambda: measure("cpu", n_steps=2, repeats=2), 240,
+        store=lambda v: RESULT.update(cpu_baseline_steps_per_sec=rnd(v, 4)),
+        fatal_on_timeout=False,
     )
-    scaled = _optional(
-        lambda: measure_sampling_config(512, 12, 16, 1024, 100)
-    )
-    scaled_bf16 = _optional(
-        lambda: measure_sampling_config(512, 12, 16, 1024, 100, bf16=True)
-    )
-    longform = _optional(
-        lambda: measure_sampling_config(128, 6, 1, 4500, 50)
-    )
-    train_sps = _optional(lambda: measure_train_throughput())
-    cond_train_sps = _optional(
-        lambda: measure_conditional_train_throughput(), attempts=1
-    )
-    # MFU: useful matmul+conv FLOP/s of the flagship denoise step vs the
-    # v5e nominal bf16 peak (197 TF/s) and the chip's measured practical
-    # matmul ceiling (110 TF/s, DESIGN.md round-4 roofline)
-    try:
-        gf_step = flagship_flops_per_step()
-        achieved = gf_step * tpu_steps_per_sec
-        mfu_nominal = achieved / 197e12
-        mfu_measured = achieved / 110e12
-    except Exception:
-        achieved = mfu_nominal = mfu_measured = None
-
-    rnd = lambda v, n=2: None if v is None else round(v, n)
-    print(
-        json.dumps(
-            {
-                # per-step denoiser cost is identical for DDPM and DDIM
-                # (one forward + elementwise update); labelled per
-                # BASELINE.json's "DDPM denoise steps/sec" metric
-                "metric": "DDPM denoise steps/sec/chip (dim128/depth6, b4xn1024)",
-                "value": round(tpu_steps_per_sec, 2),
-                "unit": "steps/sec",
-                "vs_baseline": round(vs_baseline, 2),
-                "cfg_batch_doubled_steps_per_sec": round(cfg_steps_per_sec, 2),
-                "bf16_steps_per_sec": round(bf16_steps_per_sec, 2),
-                "cpu_baseline_steps_per_sec": round(cpu_steps_per_sec, 4),
-                "conditional_pipeline_rtf": rnd(cond_rtf, 1),
-                "conditional_pipeline_rtf_bf16": rnd(cond_rtf_bf16, 1),
-                "conditional_pipeline_rtf_cfg_interval": rnd(
-                    cond_rtf_interval, 1
-                ),
-                "scaled_dim512_step_ms": rnd(None if scaled is None else scaled[0]),
-                "scaled_dim512_rtf": rnd(None if scaled is None else scaled[1], 1),
-                "scaled_dim512_bf16_step_ms": rnd(
-                    None if scaled_bf16 is None else scaled_bf16[0]
-                ),
-                "longform_60s_rtf": rnd(None if longform is None else longform[1], 1),
-                "train_steps_per_sec_b16x2s": rnd(train_sps),
-                "conditional_train_steps_per_sec": rnd(cond_train_sps),
-                "flagship_achieved_tflops": rnd(
-                    None if achieved is None else achieved / 1e12, 1
-                ),
-                "flagship_mfu_vs_nominal_peak": rnd(mfu_nominal, 3),
-                "flagship_mfu_vs_measured_ceiling": rnd(mfu_measured, 3),
-            }
+    if RESULT["value"] and RESULT.get("cpu_baseline_steps_per_sec"):
+        RESULT["vs_baseline"] = round(
+            RESULT["value"] / RESULT["cpu_baseline_steps_per_sec"], 2
         )
+        _emit()
+
+    # 2. MFU — pure host-side jaxpr FLOP walk against the flagship number
+    # (v5e nominal bf16 peak 197 TF/s; measured practical matmul ceiling
+    # 110 TF/s, DESIGN.md round-4 roofline)
+    def _store_mfu(gf_step):
+        if RESULT["value"]:
+            achieved = gf_step * RESULT["value"]
+            RESULT.update(
+                flagship_achieved_tflops=rnd(achieved / 1e12, 1),
+                flagship_mfu_vs_nominal_peak=rnd(achieved / 197e12, 3),
+                flagship_mfu_vs_measured_ceiling=rnd(achieved / 110e12, 3),
+            )
+
+    run_leg("mfu_flops", flagship_flops_per_step, 180, store=_store_mfu,
+            fatal_on_timeout=False)
+
+    # 3. matrix (VERDICT r2 #5): every headline README number measured by
+    # the driver-run bench — cumulative line after each, cheapest first
+    run_leg(
+        "cond_rtf", measure_conditional_rtf, 360,
+        store=lambda v: RESULT.update(conditional_pipeline_rtf=rnd(v, 1)),
     )
+    run_leg(
+        "cond_rtf_bf16", lambda: measure_conditional_rtf(bf16=True), 300,
+        store=lambda v: RESULT.update(
+            conditional_pipeline_rtf_bf16=rnd(v, 1)
+        ),
+    )
+    run_leg(
+        "cond_rtf_interval",
+        lambda: measure_conditional_rtf(cfg_interval=(0.1, 0.8)), 300,
+        store=lambda v: RESULT.update(
+            conditional_pipeline_rtf_cfg_interval=rnd(v, 1)
+        ),
+    )
+    run_leg(
+        "longform", lambda: measure_sampling_config(128, 6, 1, 4500, 50),
+        300,
+        store=lambda v: RESULT.update(longform_60s_rtf=rnd(v[1], 1)),
+    )
+    run_leg(
+        "scaled", lambda: measure_sampling_config(512, 12, 16, 1024, 100),
+        420,
+        store=lambda v: RESULT.update(
+            scaled_dim512_step_ms=rnd(v[0]), scaled_dim512_rtf=rnd(v[1], 1)
+        ),
+    )
+    run_leg(
+        "scaled_bf16",
+        lambda: measure_sampling_config(512, 12, 16, 1024, 100, bf16=True),
+        360,
+        store=lambda v: RESULT.update(scaled_dim512_bf16_step_ms=rnd(v[0])),
+    )
+    run_leg(
+        "train", measure_train_throughput, 420,
+        store=lambda v: RESULT.update(train_steps_per_sec_b16x2s=rnd(v)),
+    )
+    run_leg(
+        "serving", measure_serving, 420,
+        store=lambda v: RESULT.update(
+            serving_p50_latency_s=rnd(v[0]), serving_rtf=rnd(v[1], 1)
+        ),
+    )
+    # the most expensive compile in the repo (full reference-scale
+    # conditional model — the class of program that took 666 s to compile
+    # cold in round 3) goes LAST so it can only cost itself
+    run_leg(
+        "cond_train", measure_conditional_train_throughput, 600,
+        store=lambda v: RESULT.update(conditional_train_steps_per_sec=rnd(v)),
+    )
+    _emit()
 
 
 if __name__ == "__main__":
