@@ -246,6 +246,11 @@ def main():
     # round-4 plateau-breaking recipe (VERDICT r3 #5): perceptual mel-L1
     # reconstruction term + cosine LR decay on both optimizers
     ap.add_argument("--mel-weight", type=float, default=0.0)
+    # round-5 SI-SNR ablation (VERDICT r4 #5): the recipe's time-domain
+    # wav L1 rides at weight 1.0 where the phase-invariant terms (MR-STFT,
+    # mel-L1, discriminators) dominate the gradient; boosting it tests the
+    # "SI-SNR plateau is structural" claim in docs/codec_training.md
+    ap.add_argument("--wav-weight", type=float, default=1.0)
     ap.add_argument("--lr-schedule", choices=["cosine"], default=None)
     args = ap.parse_args()
 
@@ -259,6 +264,7 @@ def main():
         disc_channels=32,
         results_folder=args.results,
         mel_weight=args.mel_weight,
+        wav_weight=args.wav_weight,
         lr_schedule=args.lr_schedule,
         decay_steps=args.steps if args.lr_schedule else None,
     )
