@@ -37,14 +37,15 @@ N_CONS, N_VOWELS = 4, 6
 VOCAB = 1 + N_CONS * N_VOWELS + 1  # pad + syllables (+1 spare)
 
 
-def plan_utterance(rng: np.random.RandomState, spk: dict):
-    """Lay out syllables for a T-sample utterance: [(cons, vowel, start,
-    length)], totalling exactly T samples."""
+def plan_utterance(rng: np.random.RandomState, spk: dict,
+                   n_samples: int = T):
+    """Lay out syllables for an `n_samples`-sample utterance: [(cons,
+    vowel, start, length)], totalling exactly `n_samples` samples."""
     syl_len = int(SR / spk["rate"])
     plan = []
     pos = 0
-    while pos < T - 400:
-        n = min(int(syl_len * rng.uniform(0.7, 1.3)), T - pos)
+    while pos < n_samples - 400:
+        n = min(int(syl_len * rng.uniform(0.7, 1.3)), n_samples - pos)
         cons = rng.choice(N_CONS, p=[0.3, 0.3, 0.25, 0.15])
         vowel = rng.randint(N_VOWELS)
         plan.append((int(cons), int(vowel), pos, n))
@@ -52,11 +53,12 @@ def plan_utterance(rng: np.random.RandomState, spk: dict):
     return plan
 
 
-def render_plan(plan, spk: dict, rng: np.random.RandomState) -> np.ndarray:
+def render_plan(plan, spk: dict, rng: np.random.RandomState,
+                n_samples: int = T) -> np.ndarray:
     """Render a syllable plan to audio (same acoustics as
     codec_speech_production.synth_utterance, but structure-driven)."""
-    out = np.zeros(T)
-    t_all = np.arange(T) / SR
+    out = np.zeros(n_samples)
+    t_all = np.arange(n_samples) / SR
     f0_track = spk["f0_base"] * (
         1.0
         + spk["f0_range"] * np.sin(
@@ -105,17 +107,33 @@ def plan_tokens(plan) -> list:
     return [1 + c * N_VOWELS + v for c, v, _, _ in plan]
 
 
-def tts_batches(seed: int, batch: int, max_tokens: int = 8):
+def _max_tokens_for(n_samples: int) -> int:
+    """Upper bound on syllables per utterance: fastest speaker (6 syl/s)
+    with the shortest length jitter (×0.7). Truncating tokens while the
+    audio keeps the extra syllables would silently corrupt the text↔audio
+    pairing, so the pad width must cover the worst case."""
+    return int(np.ceil(n_samples / SR * 6.0 / 0.7)) + 1
+
+
+def tts_batches(seed: int, batch: int, max_tokens: int | None = None,
+                seconds: float | None = None):
     """Yield dict batches for the conditional Trainer: raw audio, token
     text (padded with -1 like the reference pad convention), text lengths,
-    and a same-speaker PROMPT utterance (timbre reference)."""
+    and a same-speaker PROMPT utterance (timbre reference, always 0.4 s —
+    it carries speaker identity + rate, not content). `seconds` sets the
+    target-utterance length (default 0.4 s = 30 latent frames; longer
+    utterances carry more syllables, which conditions the unsupervised
+    aligner far better than 2-3-token snippets)."""
+    n_samples = T if seconds is None else int(seconds * SR)
+    if max_tokens is None:
+        max_tokens = _max_tokens_for(n_samples)
     rng = np.random.RandomState(seed)
     while True:
         audio, prompts, texts, lens = [], [], [], []
         for _ in range(batch):
             spk = synth_speaker(rng)
-            plan = plan_utterance(rng, spk)
-            audio.append(render_plan(plan, spk, rng))
+            plan = plan_utterance(rng, spk, n_samples)
+            audio.append(render_plan(plan, spk, rng, n_samples))
             prompts.append(
                 render_plan(plan_utterance(rng, spk), spk, rng)
             )
@@ -130,18 +148,21 @@ def tts_batches(seed: int, batch: int, max_tokens: int = 8):
         }
 
 
-def tts_eval_batch(seed: int, batch: int, max_tokens: int = 8,
-                   hop: int = 320) -> dict:
+def tts_eval_batch(seed: int, batch: int, max_tokens: int | None = None,
+                   hop: int = 320, seconds: float | None = None) -> dict:
     """One batch WITH ground-truth per-token durations (in hop-length
     frames, zero-padded to ``max_tokens``) — the quantitative-evaluation
     side of the capstone: duration MAE needs the plan the training
     batches discard."""
+    n_samples = T if seconds is None else int(seconds * SR)
+    if max_tokens is None:
+        max_tokens = _max_tokens_for(n_samples)
     rng = np.random.RandomState(seed)
     audio, prompts, texts, lens, durs = [], [], [], [], []
     for _ in range(batch):
         spk = synth_speaker(rng)
-        plan = plan_utterance(rng, spk)
-        audio.append(render_plan(plan, spk, rng))
+        plan = plan_utterance(rng, spk, n_samples)
+        audio.append(render_plan(plan, spk, rng, n_samples))
         prompts.append(render_plan(plan_utterance(rng, spk), spk, rng))
         toks = plan_tokens(plan)[:max_tokens]
         lens.append(len(toks))

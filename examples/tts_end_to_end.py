@@ -186,20 +186,27 @@ def main():
                     help="sampling steps for the final artifact")
     ap.add_argument("--tiny", action="store_true",
                     help="plumbing smoke-test scale (CPU-friendly)")
+    ap.add_argument("--seconds", type=float, default=0.4,
+                    help="utterance length; longer = more syllables per "
+                         "sample, which the unsupervised aligner needs "
+                         "(2-3-token snippets admit degenerate CTC optima)")
     ap.add_argument("--eval-only", default=None, metavar="CKPT",
                     help="skip training: load this trainer checkpoint and "
                          "run the evaluation block only")
     args = ap.parse_args()
 
+    n_frames = int(args.seconds * 24000) // 320  # latent frames at hop 320
     ns2 = build_ns2(tiny=args.tiny)
     trainer = Trainer(
         ns2,
-        batches=prefetched(tts_batches(seed=0, batch=args.batch)),
+        batches=prefetched(
+            tts_batches(seed=0, batch=args.batch, seconds=args.seconds)
+        ),
         train_batch_size=args.batch,
         grad_accum_every=1,
         train_num_steps=args.steps,
         save_and_sample_every=args.sample_every,
-        sample_length=30,  # 0.4 s at hop 320
+        sample_length=n_frames,
         results_folder=args.results,
         amp=True,
     )
@@ -242,13 +249,14 @@ def main():
     from synthetic_tts_data import tts_eval_batch  # noqa: E402
 
     n_eval = 4 if args.tiny else 16
-    test = tts_eval_batch(seed=777, batch=n_eval, hop=320)
+    test = tts_eval_batch(seed=777, batch=n_eval, hop=320,
+                          seconds=args.seconds)
     variables = {"params": trainer.state.ema_params}
     out = sample(
         ns2,
         variables,
         jax.random.PRNGKey(0),
-        length=30,
+        length=n_frames,
         prompt=jnp.asarray(test["prompt"]),
         text=jnp.asarray(test["text"]),
         text_lens=jnp.asarray(test["text_lens"]),
@@ -261,7 +269,7 @@ def main():
     # mel_hop_length=320 so predictor units == latent frames)
     _, _, dur_pred = ns2.apply(
         variables, jnp.asarray(test["prompt"]), jnp.asarray(test["text"]),
-        jnp.asarray(test["text_lens"]), 30,
+        jnp.asarray(test["text_lens"]), n_frames,
         method=ns2.conditioning_for_sample,
     )
     dur_pred = np.asarray(dur_pred)
