@@ -28,10 +28,25 @@ measured stand-in; BASELINE.md)."""
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# Persistent XLA compilation cache, shared across bench invocations: the
+# bench's worst-case wall time is cold remote compiles (the reference-scale
+# conditional train step compiled for 666 s cold in round 3 — ROADMAP.md).
+# A warm-up run (or a previous round's bench) fills this dir so the
+# driver-run bench pays near-zero compile time and cannot time out on a
+# compile it has already done. Safe to delete anytime.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".bench_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 BATCH = 4
 LENGTH = 1024
