@@ -193,6 +193,11 @@ def main():
     ap.add_argument("--eval-only", default=None, metavar="CKPT",
                     help="skip training: load this trainer checkpoint and "
                          "run the evaluation block only")
+    ap.add_argument("--spd", type=int, default=1,
+                    help="steps_per_dispatch: optimizer steps per "
+                         "host->device round trip (lax.scan chunk); through "
+                         "the axon tunnel each dispatch costs 30-100 ms, so "
+                         "8 roughly halves small-model wall time")
     args = ap.parse_args()
 
     n_frames = int(args.seconds * 24000) // 320  # latent frames at hop 320
@@ -205,6 +210,7 @@ def main():
         train_batch_size=args.batch,
         grad_accum_every=1,
         train_num_steps=args.steps,
+        steps_per_dispatch=args.spd,
         save_and_sample_every=args.sample_every,
         sample_length=n_frames,
         results_folder=args.results,
